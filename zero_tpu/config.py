@@ -1,0 +1,357 @@
+"""Configuration system: flat hyper-parameter namespace with layered merging.
+
+Equivalent of the reference's ``tc.training.HParams`` declaration and its
+3-level merge priority -- command line > saved param.json > config file >
+defaults (reference run.py:24-239, 367-376) -- but with safe config parsing
+(JSON or python-literal via ast.literal_eval; the reference uses ``eval``,
+run.py:335) and TPU-specific extensions (mesh axes, shape bucketing,
+microbatching).
+"""
+
+from __future__ import annotations
+
+import ast
+import copy
+import json
+import os
+from typing import Any, Dict
+
+
+class Config:
+    """A flat, attribute-accessible hyperparameter namespace.
+
+    Mirrors the small slice of tf.contrib HParams the reference relies on:
+    attribute access, ``parse("k=v,k2=v2")`` command-line overrides with
+    type coercion against the default, ``override_from_dict``, and JSON
+    (de)serialisation (reference run.py:250-272, 333-340).
+    """
+
+    def __init__(self, **kwargs: Any):
+        self._values: Dict[str, Any] = {}
+        for k, v in kwargs.items():
+            self._values[k] = v
+
+    # -- attribute access -------------------------------------------------
+    def __getattr__(self, name: str) -> Any:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        try:
+            return self._values[name]
+        except KeyError:
+            raise AttributeError("Unknown hyperparameter: %s" % name)
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        if name.startswith("_"):
+            super().__setattr__(name, value)
+        else:
+            self._values[name] = value
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._values
+
+    def values(self) -> Dict[str, Any]:
+        return dict(self._values)
+
+    def copy(self) -> "Config":
+        c = Config()
+        c._values = copy.deepcopy(
+            {k: v for k, v in self._values.items() if _is_jsonable(v)})
+        # non-jsonable objects (vocabs, recorder) are shared by reference
+        for k, v in self._values.items():
+            if not _is_jsonable(v):
+                c._values[k] = v
+        return c
+
+    def add_param(self, name: str, value: Any) -> None:
+        self._values[name] = value
+
+    # -- merging ----------------------------------------------------------
+    def parse(self, spec: str) -> "Config":
+        """Parse ``k=v,k2=v2`` command-line overrides with type coercion.
+
+        Values are coerced to the type of the existing default; list-valued
+        params accept python-literal syntax (``gpus=[0,1]``).
+        """
+        if not spec:
+            return self
+        # split on commas not inside brackets/quotes
+        items, depth, cur = [], 0, []
+        for ch in spec:
+            if ch in "[({":
+                depth += 1
+            elif ch in "])}":
+                depth -= 1
+            if ch == "," and depth == 0:
+                items.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            items.append("".join(cur))
+
+        for item in items:
+            item = item.strip()
+            if not item:
+                continue
+            if "=" not in item:
+                raise ValueError("Malformed parameter assignment: %r" % item)
+            k, v = item.split("=", 1)
+            k = k.strip()
+            self._values[k] = _coerce(v.strip(), self._values.get(k))
+        return self
+
+    def override_from_dict(self, d: Dict[str, Any]) -> "Config":
+        for k, v in d.items():
+            self._values[k] = v
+        return self
+
+    # -- persistence --------------------------------------------------------
+    def to_json(self) -> str:
+        return json.dumps(
+            {k: v for k, v in self._values.items() if _is_jsonable(v)},
+            indent=2, sort_keys=True)
+
+    def parse_json(self, s: str) -> "Config":
+        return self.override_from_dict(json.loads(s))
+
+
+def _is_jsonable(v: Any) -> bool:
+    return isinstance(v, (int, float, str, bool, type(None), list, tuple, dict))
+
+
+def _coerce(raw: str, default: Any) -> Any:
+    """Coerce a raw string to the type of ``default``."""
+    if isinstance(default, bool):
+        if raw.lower() in ("true", "1", "yes"):
+            return True
+        if raw.lower() in ("false", "0", "no"):
+            return False
+        raise ValueError("Cannot parse bool from %r" % raw)
+    if isinstance(default, int) and not isinstance(default, bool):
+        return int(raw)
+    if isinstance(default, float):
+        return float(raw)
+    if isinstance(default, (list, tuple)):
+        return ast.literal_eval(raw)
+    if default is None or isinstance(default, str):
+        # unknown param: best-effort literal parse, else string
+        try:
+            return ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            return raw
+    return raw
+
+
+def default_config() -> Config:
+    """All hyperparameters with defaults.
+
+    Same inventory as the reference's global_params (run.py:24-239), minus
+    TF-specific knobs (swap_memory, nthreads) and plus TPU-native ones
+    (mesh axes, bucketing, microbatching).
+    """
+    return Config(
+        # -- embeddings / sharing (run.py:26-28)
+        shared_source_target_embedding=False,
+        shared_target_softmax_embedding=True,
+
+        # -- decoding (run.py:30-44)
+        decode_length=50,
+        beam_size=4,
+        decode_alpha=0.6,
+        enable_noise_beam_search=False,
+        beam_search_temperature=1.0,
+        top_beams=1,
+        search_mode="cache",       # cache or dev (dev = re-run full decoder)
+        decode_max_len=256,        # static upper bound on decode steps (TPU)
+
+        # -- relative position encoding (run.py:47)
+        max_relative_position=16,
+
+        # -- learning rate decay (run.py:49-66)
+        nstable=4,
+        lrdecay_start=600000,
+        lrdecay_end=1200000,
+        warmup_steps=400,
+        lrate_strategy="gnmt+",    # noam, gnmt+, epoch, score, vanilla, cosine
+        lrate_decay=0.5,
+        lrate_patience=1,
+        cosine_period=5000,
+        cosine_factor=1,
+
+        # -- early stopping (run.py:69)
+        estop_patience=100,
+
+        # -- initialization (run.py:71-75)
+        initializer="uniform",
+        initializer_gain=0.08,
+
+        # -- model size (run.py:77-113)
+        hidden_size=1000,
+        embed_size=620,
+        dropout=0.1,
+        relu_dropout=0.1,
+        residual_dropout=0.1,
+        label_smooth=0.1,
+        model_name="rnnsearch",
+        scope_name="rnnsearch",
+        cell="atr",
+        caencoder=True,
+        layer_norm=False,
+        use_deep_att=False,
+        filter_size=2048,
+        attention_dropout=0.1,
+        num_encoder_layer=6,
+        num_decoder_layer=6,
+        num_heads=8,
+
+        # -- average attention network (run.py:115-119)
+        aan_mask=True,
+        use_ffn=False,
+        strategies=["aan"],
+
+        # -- batching (run.py:121-133)
+        max_len=100,
+        eval_max_len=1000000,
+        batch_size=80,
+        token_size=3000,
+        batch_or_token="token",
+        eval_batch_size=32,
+        shuffle_batch=True,
+        # TPU shape-bucket discipline: pad sequence lengths up to a multiple
+        # of this to bound the number of compiled shapes
+        pad_seq_multiple=16,
+        # pad batch dim up to a multiple of this (padded rows fully masked)
+        pad_batch_multiple=8,
+
+        # -- host pipeline (run.py:138-144)
+        process_num=0,
+        buffer_size=1000,
+        input_queue_size=100,
+        output_queue_size=100,
+
+        # -- files (run.py:146-167)
+        src_vocab_file="",
+        tgt_vocab_file="",
+        src_train_file="",
+        tgt_train_file="",
+        src_dev_file="",
+        tgt_dev_file="",
+        src_test_file="",
+        tgt_test_file="",
+        output_dir="",
+        test_output="",
+        pretrained_model="",
+
+        # -- optimizer (run.py:169-182)
+        beta1=0.9,
+        beta2=0.999,
+        epsilon=1e-9,
+        clip_grad_norm=5.0,
+        gnorm_upper_bound=1e20,
+        lrate=1e-5,
+        min_lrate=0.0,
+        max_lrate=1.0,
+
+        # -- training budget (run.py:184-190)
+        epoches=10,
+        update_cycle=1,
+        gpus=[0],                  # kept for config compat; TPU uses mesh
+        # TPU mesh: number of data-parallel and model(tensor)-parallel ways;
+        # -1 for data = use all remaining devices
+        mesh_data=-1,
+        mesh_model=1,
+
+        safe_nan=False,
+        dl4mt_redict=True,
+        ema_decay=-1.0,
+        data_leak_ratio=0.5,
+        deep_transformer_init=False,
+
+        # -- train loop frequencies (run.py:207-219)
+        disp_freq=100,
+        eval_freq=10000,
+        save_freq=5000,
+        sample_freq=1000,
+        checkpoints=5,
+        best_checkpoints=1,
+        max_training_steps=1000,
+
+        random_seed=1234,
+        train_continue=True,
+
+        # -- dtype policy (run.py:228-232)
+        default_dtype="float32",   # compute dtype: float32 | bfloat16
+        dtype_epsilon=1e-8,
+        dtype_inf=1e8,
+        loss_scale=1.0,            # unused on TPU bf16; kept for compat
+
+        # -- l0drop (run.py:234-238)
+        l0_norm_reg_scalar=1.0,
+        l0_norm_start_reg_ramp_up=0,
+        l0_norm_end_reg_ramp_up=10000,
+        l0_norm_warm_up=True,
+
+        # -- speech translation (AFS / CTC; specs from reference docs/)
+        audio_num_mel_bins=80,
+        audio_frame_stride=1,
+        asr_pretrain="",
+        afs_l0_scalar=0.5,
+        ctc_alpha=0.3,
+        ctc_repeated=False,
+        ctc_enable=False,
+        coarse_label_base=-1,      # CoLaCTC label base; -1 disables
+        sinusoid_posenc=True,
+        max_frame_len=2048,
+        # fused attention kernels
+        use_flash_attention=True,
+        flash_block_size=256,
+    )
+
+
+def save_parameters(params: Config, output_dir: str) -> None:
+    """Persist params to ``output_dir/param.json`` (reference run.py:250-258)."""
+    os.makedirs(output_dir, exist_ok=True)
+    with open(os.path.join(output_dir, "param.json"), "w") as w:
+        w.write(params.to_json())
+
+
+def load_parameters(params: Config, output_dir: str) -> Config:
+    """Merge saved param.json into params if present (reference run.py:262-272)."""
+    path = os.path.join(output_dir, "param.json")
+    if os.path.exists(path):
+        with open(path) as r:
+            params.parse_json(r.read())
+    return params
+
+
+def load_config_file(path: str) -> Dict[str, Any]:
+    """Safely parse a config file: JSON first, then python-literal dict.
+
+    The reference ``eval``s the file (run.py:335); we restrict to literals.
+    """
+    with open(path) as r:
+        text = r.read()
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        value = ast.literal_eval(text)
+        if not isinstance(value, dict):
+            raise ValueError("Config file must contain a dict literal")
+        return value
+
+
+def merge_params(params: Config, config_file: str = "", parameters: str = "",
+                 output_dir: str | None = None) -> Config:
+    """3-level merge: cmdline > saved param.json > config file > defaults.
+
+    Applied twice around the saved-param load, exactly like reference
+    run.py:367-376.
+    """
+    params.parse(parameters)
+    if config_file and os.path.exists(config_file):
+        params.override_from_dict(load_config_file(config_file))
+    params = load_parameters(params, output_dir or params.output_dir)
+    if config_file and os.path.exists(config_file):
+        params.override_from_dict(load_config_file(config_file))
+    params.parse(parameters)
+    return params

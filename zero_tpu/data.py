@@ -1,0 +1,190 @@
+"""Host-side dataset: streaming, bucket-sorting, batching, shape discipline.
+
+Reimplements the reference pipeline semantics (data.py:11-117 and
+utils/util.py:17-65): buffer-sort by max(src,tgt) length, batch- or
+token-count bucketing, shuffled bucket order, per-batch max padding into
+int32 matrices, and the leak buffer deferring undersized tail batches.
+
+TPU addition: ``pad_seq_multiple``/``pad_batch_multiple`` snap padded shapes
+to a small set of bucketed shapes so jit recompilation is bounded (the
+reference pads to exact per-batch max, which would trigger a compile per
+unique length on XLA).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Sequence, Tuple
+
+import numpy as np
+
+
+def batch_indexer(datasize: int, batch_size: int) -> List[List[int]]:
+    """Split range(datasize) into consecutive fixed-size index groups
+    (reference utils/util.py:17-27; keeps the tail as a smaller group)."""
+    index = list(range(datasize))
+    groups = [index[i * batch_size:(i + 1) * batch_size]
+              for i in range(datasize // batch_size)]
+    if datasize % batch_size > 0:
+        groups.append(index[-(datasize % batch_size):])
+    return groups
+
+
+def token_indexer(lengths: Sequence[Sequence[int]],
+                  token_size: int) -> List[List[int]]:
+    """Token-budget batching: cost of a batch = count x running-max-length
+    per field; oversize singletons become 1-element batches (reference
+    utils/util.py:30-65)."""
+    index = list(range(len(lengths)))
+    groups: List[List[int]] = []
+
+    running_max = [0.0] * len(lengths[0])
+    count = 0
+    i = 0
+    while i < len(lengths):
+        running_max = [max(m, l) for m, l in zip(running_max, lengths[i])]
+        count += 1
+        for m in running_max:
+            if count * m >= token_size:
+                if count > 1:
+                    groups.append(index[i - count + 1:i])
+                    i -= 1
+                else:
+                    groups.append(index[i:i + 1])
+                count = 0
+                running_max = [0.0] * len(lengths[0])
+                break
+        i += 1
+
+    consumed = sum(len(g) for g in groups)
+    if consumed != len(lengths):
+        groups.append(index[consumed:])
+    return groups
+
+
+def round_up(x: int, multiple: int) -> int:
+    if multiple <= 1:
+        return x
+    return ((x + multiple - 1) // multiple) * multiple
+
+
+class Dataset:
+    """Parallel-text dataset with sort-bucket batching and a leak buffer.
+
+    Yields dict batches: 'src'/'tgt' int32 [B, L] zero-padded, 'index' the
+    original sentence indices, 'raw' the (index, src_ids, tgt_ids) triples.
+    """
+
+    def __init__(self, src_file: str, tgt_file: str, src_vocab, tgt_vocab,
+                 max_len: int = 100, batch_or_token: str = "batch",
+                 data_leak_ratio: float = 0.5,
+                 pad_seq_multiple: int = 1,
+                 pad_batch_multiple: int = 1):
+        self.source = src_file
+        self.target = tgt_file
+        self.src_vocab = src_vocab
+        self.tgt_vocab = tgt_vocab
+        self.max_len = max_len
+        self.batch_or_token = batch_or_token
+        self.data_leak_ratio = data_leak_ratio
+        self.pad_seq_multiple = pad_seq_multiple
+        self.pad_batch_multiple = pad_batch_multiple
+
+        self.leak_buffer: List[Tuple[int, List[int], List[int]]] = []
+
+    def load_data(self) -> Iterator[Tuple[List[int], List[int]]]:
+        """Stream sentence pairs; truncate source/target at max_len tokens
+        (pre-eos), skip blank lines, stop at first exhausted file
+        (reference data.py:26-45)."""
+        with open(self.source) as src_reader, open(self.target) as tgt_reader:
+            while True:
+                src_line = src_reader.readline()
+                tgt_line = tgt_reader.readline()
+                if src_line == "" or tgt_line == "":
+                    break
+                src_line = src_line.strip()
+                tgt_line = tgt_line.strip()
+                if src_line == "" or tgt_line == "":
+                    continue
+                yield (self.src_vocab.to_id(src_line.split()[:self.max_len]),
+                       self.tgt_vocab.to_id(tgt_line.split()[:self.max_len]))
+
+    def to_matrix(self, batch):
+        """Pad a list of (idx, src_ids, tgt_ids) into int32 matrices.
+
+        Sequence dims are capped at max_len like the reference
+        (data.py:47-65) then snapped up to pad_seq_multiple; the batch dim
+        is snapped up to pad_batch_multiple with all-pad rows (fully masked
+        downstream -- models treat all-zero rows as empty sentences).
+        """
+        batch_size = len(batch)
+        src_len = min(self.max_len, max(len(s[1]) for s in batch))
+        tgt_len = min(self.max_len, max(len(s[2]) for s in batch))
+
+        src_len = round_up(src_len, self.pad_seq_multiple)
+        tgt_len = round_up(tgt_len, self.pad_seq_multiple)
+        padded_bs = round_up(batch_size, self.pad_batch_multiple)
+
+        s = np.zeros([padded_bs, src_len], dtype=np.int32)
+        t = np.zeros([padded_bs, tgt_len], dtype=np.int32)
+        x = []
+        for eidx, sample in enumerate(batch):
+            x.append(sample[0])
+            src_ids, tgt_ids = sample[1], sample[2]
+            s[eidx, :min(src_len, len(src_ids))] = src_ids[:src_len]
+            t[eidx, :min(tgt_len, len(tgt_ids))] = tgt_ids[:tgt_len]
+        return x, s, t
+
+    def batcher(self, size: int, buffer_size: int = 1000, shuffle: bool = True,
+                train: bool = True) -> Iterator[dict]:
+        """Sort a buffer by max length, bucket it, shuffle bucket order,
+        yield padded batches; undersized batches (< size*leak_ratio) are
+        deferred into the leak buffer and re-batched with later data
+        (reference data.py:67-117)."""
+
+        def _handle_buffer(buf):
+            sorted_buf = sorted(buf, key=lambda xx: max(len(xx[1]), len(xx[2])))
+            if self.batch_or_token == "batch":
+                buffer_index = batch_indexer(len(sorted_buf), size)
+            else:
+                buffer_index = token_indexer(
+                    [[len(s[1]), len(s[2])] for s in sorted_buf], size)
+
+            order = list(range(len(buffer_index)))
+            if shuffle:
+                np.random.shuffle(order)
+
+            for oidx in order:
+                batch = [sorted_buf[ii] for ii in buffer_index[oidx]]
+                x, s, t = self.to_matrix(batch)
+                yield {"src": s, "tgt": t, "index": x, "raw": batch}
+
+        buf = self.leak_buffer
+        self.leak_buffer = []
+        for i, (src_ids, tgt_ids) in enumerate(self.load_data()):
+            buf.append((i, src_ids, tgt_ids))
+            if len(buf) >= buffer_size:
+                for data in _handle_buffer(buf):
+                    # measure effective size the same way the reference does
+                    if self.batch_or_token == "batch":
+                        bsz = len(data["raw"])
+                    else:
+                        bsz = max(int(np.sum(data["tgt"] > 0)),
+                                  int(np.sum(data["src"] > 0)))
+                    if bsz < size * self.data_leak_ratio:
+                        self.leak_buffer += data["raw"]
+                    else:
+                        yield data
+                buf = self.leak_buffer
+                self.leak_buffer = []
+
+        if len(buf) > 0:
+            for data in _handle_buffer(buf):
+                if self.batch_or_token == "batch":
+                    bsz = len(data["raw"])
+                else:
+                    bsz = max(int(np.sum(data["tgt"] > 0)),
+                              int(np.sum(data["src"] > 0)))
+                if train and bsz < size * self.data_leak_ratio:
+                    self.leak_buffer += data["raw"]
+                else:
+                    yield data

@@ -1,0 +1,337 @@
+"""Multi-head attention: training (full-sequence) and static-cache decoding.
+
+Functional counterpart of reference func.dot_attention (func.py:164-286)
+and func.additive_attention (func.py:107-161), redesigned for TPU/XLA:
+
+* The decode KV cache is PREALLOCATED at [B, T_max, hidden] and written at
+  the current step with ``lax.dynamic_update_slice`` -- replacing the
+  reference's concat-grow cache (func.py:199-205), which implies dynamic
+  shapes that XLA cannot compile. Validity is a ``position <= time`` mask.
+* The reference's dummy-run cache init (search.py:56-74) duplicates the
+  position-0 entry in its cache; we implement the clean semantics (each
+  position written exactly once), which bit-matches the reference's own
+  dev-mode correctness oracle (search.py:129-140).
+* Softmax is computed in fp32 regardless of compute dtype.
+
+Self-attention uses one fused qkv projection (func.py:196-197); cross
+attention computes memory k/v once at encode time (the reference's 'mk/mv'
+cache, func.py:208-216). The AAN fuse path shares the memory v projection
+with the query-side projection (func.py:258-260) and keeps an O(1) running
+sum at decode (func.py:262-272).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from zero_tpu.ops import initializers as inits
+from zero_tpu.ops import rpr as rpr_mod
+from zero_tpu.ops import nn
+from zero_tpu.ops.common import dropout
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def init_attention(key, d_query: int, hidden: int,
+                   self_attention: bool,
+                   d_memory: Optional[int] = None,
+                   fuse: bool = False,
+                   out_map: bool = True,
+                   bias: bool = True,
+                   weight_init=None,
+                   out_init=None,
+                   rpr_max: Optional[int] = None,
+                   rela: bool = False,
+                   dtype=jnp.float32):
+    """Build attention params.
+
+    self_attention -> fused 'qkv' projection; otherwise separate q/k/v with
+    k/v from d_memory. ``fuse`` adds nothing (it reuses 'v' on the query
+    side). ``out_init`` overrides the o_map initializer (fixup zero-init).
+    ``rela`` adds the gated-RMSNorm epilogue params.
+    """
+    weight_init = weight_init or inits.variance_scaling(1.0, "uniform")
+    params = {}
+    if self_attention:
+        params["qkv"] = nn.init_linear(
+            jax.random.fold_in(key, 1), d_query, hidden * 3,
+            bias=bias, weight_init=weight_init, dtype=dtype)
+    else:
+        d_memory = d_memory if d_memory is not None else d_query
+        params["q"] = nn.init_linear(
+            jax.random.fold_in(key, 2), d_query, hidden,
+            bias=bias, weight_init=weight_init, dtype=dtype)
+        params["k"] = nn.init_linear(
+            jax.random.fold_in(key, 3), d_memory, hidden,
+            bias=bias, weight_init=weight_init, dtype=dtype)
+        params["v"] = nn.init_linear(
+            jax.random.fold_in(key, 4), d_memory, hidden,
+            bias=bias, weight_init=weight_init, dtype=dtype)
+    if out_map:
+        params["o"] = nn.init_linear(
+            jax.random.fold_in(key, 5), hidden, hidden,
+            bias=bias, weight_init=out_init or weight_init, dtype=dtype)
+    del rpr_max  # RPR tables live beside the layer; see init_rpr_tables
+    if rela:
+        params["post"] = {
+            "scale": jnp.ones((hidden,), dtype),
+            "gate": weight_init(jax.random.fold_in(key, 7), (hidden,), dtype),
+        }
+    return params
+
+
+def init_rpr_tables(key, hidden: int, num_heads: int, max_relative_position: int,
+                    weight_init=None, dtype=jnp.float32):
+    """RPR tables at per-head depth (reference passes k_shp[3] = hidden/heads,
+    func.py:233-235)."""
+    weight_init = weight_init or inits.variance_scaling(1.0, "uniform")
+    return rpr_mod.init_rpr(key, max_relative_position, hidden // num_heads,
+                            weight_init, dtype)
+
+
+# ---------------------------------------------------------------------------
+# core
+# ---------------------------------------------------------------------------
+
+def split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    """[B, L, H*Dh] -> [B, H, L, Dh] (func.py:68-85)."""
+    b, l, d = x.shape
+    return x.reshape(b, l, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def combine_heads(x: jax.Array) -> jax.Array:
+    """[B, H, L, Dh] -> [B, L, H*Dh] (func.py:88-104)."""
+    b, h, l, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * dh)
+
+
+def _attn_core(q, k, v, keep_mask, num_heads, *, rng=None, drop=None,
+               rpr_tables=None, rpr_ids=None, relu=False):
+    """Shared attention math on [B, L, hidden] projections.
+
+    keep_mask: broadcastable to [B, 1, Lq, Lk]; 1 = attend, 0 = block.
+    relu=True switches to ReLA: multiply-mask + relu instead of
+    softmax(-inf mask) (modules/rela.py:63-72). Returns ([B, Lq, hidden],
+    weights [B, H, Lq, Lk]).
+    """
+    qh = split_heads(q, num_heads)
+    kh = split_heads(k, num_heads)
+    vh = split_heads(v, num_heads)
+    dh = qh.shape[-1]
+    qh = qh * (dh ** -0.5)
+
+    if rpr_tables is not None:
+        r_k = rpr_mod.gather_embeddings(rpr_tables["keys"], rpr_ids)
+        logits = rpr_mod.logits_with_rpr(qh, kh, r_k)
+    else:
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh)
+
+    logits = logits.astype(jnp.float32)
+    if relu:
+        if keep_mask is not None:
+            logits = logits * keep_mask.astype(jnp.float32)
+        weights = jax.nn.relu(logits)
+    else:
+        if keep_mask is not None:
+            logits = jnp.where(keep_mask > 0, logits, jnp.float32(-1e9))
+        weights = jax.nn.softmax(logits, axis=-1)
+
+    dweights = dropout(rng, weights, drop).astype(q.dtype)
+
+    if rpr_tables is not None:
+        r_v = rpr_mod.gather_embeddings(rpr_tables["values"], rpr_ids)
+        o = rpr_mod.output_with_rpr(dweights, vh, r_v)
+    else:
+        o = jnp.einsum("bhqk,bhkd->bhqd", dweights, vh)
+    return combine_heads(o), weights
+
+
+def gated_rms_norm(params, x, eps: float = 1e-8):
+    """ReLA epilogue: scale*x*rsqrt(ms)*sigmoid(gate*x)
+    (modules/rela.py:95-109)."""
+    xf = x.astype(jnp.float32)
+    ms = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    out = (params["scale"].astype(jnp.float32) * xf * jax.lax.rsqrt(ms + eps)
+           * jax.nn.sigmoid(params["gate"].astype(jnp.float32) * xf))
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# training / full-sequence apply
+# ---------------------------------------------------------------------------
+
+def attn_train(params, query, memory, keep_mask, num_heads, *,
+               rng=None, drop=None, fuse_weight=None,
+               rpr_tables=None, max_relative_position=None,
+               relu=False, use_flash=False):
+    """Full-sequence attention.
+
+    memory=None -> self-attention via the fused qkv projection.
+    keep_mask: [B or 1, 1, Lq, Lk] 1/0; caller combines causal+padding.
+    fuse_weight: AAN [B, Lq, Lq] averaging matrix; adds the averaged
+    query-side values through the shared 'v' projection (func.py:258-266).
+    """
+    if memory is None:
+        h = nn.linear(params["qkv"], query)
+        q, k, v = jnp.split(h, 3, axis=-1)
+    else:
+        q = nn.linear(params["q"], query)
+        k = nn.linear(params["k"], memory)
+        v = nn.linear(params["v"], memory)
+
+    rpr_ids = None
+    if rpr_tables is not None:
+        rpr_ids = rpr_mod.relative_positions_matrix(
+            q.shape[1], k.shape[1], max_relative_position)
+
+    o, weights = _attn_core(q, k, v, keep_mask, num_heads, rng=rng, drop=drop,
+                            rpr_tables=rpr_tables, rpr_ids=rpr_ids, relu=relu)
+
+    if relu and "post" in params:
+        o = gated_rms_norm(params["post"], o)
+
+    if fuse_weight is not None:
+        v_q = nn.linear(params["v"], query)
+        aan_o = jnp.einsum("bqk,bkd->bqd", fuse_weight.astype(v_q.dtype), v_q)
+        o = o + aan_o
+
+    if "o" in params:
+        o = nn.linear(params["o"], o)
+    return {"output": o, "weights": weights}
+
+
+# ---------------------------------------------------------------------------
+# decode: static caches
+# ---------------------------------------------------------------------------
+
+def init_self_cache(batch: int, max_len: int, hidden: int, dtype):
+    """Preallocated self-attention KV cache."""
+    return {
+        "k": jnp.zeros((batch, max_len, hidden), dtype),
+        "v": jnp.zeros((batch, max_len, hidden), dtype),
+    }
+
+
+def self_attn_step(params, x_t, cache, time, num_heads, *,
+                   rpr_tables=None, max_relative_position=None, relu=False):
+    """One-step self-attention with a static cache.
+
+    x_t: [B, 1, d]; cache: {'k','v': [B, T_max, hidden]}; time: scalar int.
+    Writes this step's k/v at position ``time`` and attends over positions
+    <= time. Returns (output [B, 1, hidden], new_cache).
+    """
+    h = nn.linear(params["qkv"], x_t)
+    q, k_t, v_t = jnp.split(h, 3, axis=-1)
+
+    k = jax.lax.dynamic_update_slice(cache["k"], k_t.astype(cache["k"].dtype),
+                                     (0, time, 0))
+    v = jax.lax.dynamic_update_slice(cache["v"], v_t.astype(cache["v"].dtype),
+                                     (0, time, 0))
+    t_max = k.shape[1]
+    pos = jnp.arange(t_max)
+    keep = (pos <= time).astype(jnp.float32)[None, None, None, :]
+
+    rpr_ids = None
+    if rpr_tables is not None:
+        rpr_ids = rpr_mod.relative_positions_row(time, t_max,
+                                                 max_relative_position)
+
+    o, _ = _attn_core(q, k, v, keep, num_heads,
+                      rpr_tables=rpr_tables, rpr_ids=rpr_ids, relu=relu)
+    if relu and "post" in params:
+        o = gated_rms_norm(params["post"], o)
+    if "o" in params:
+        o = nn.linear(params["o"], o)
+    return o, {"k": k, "v": v}
+
+
+def cross_attn_precompute(params, memory):
+    """Compute the memory-side projections once (the reference's mk/mv
+    cache entries, func.py:208-216)."""
+    return {"mk": nn.linear(params["k"], memory),
+            "mv": nn.linear(params["v"], memory)}
+
+
+def cross_attn_step(params, x_t, mkv, mem_keep, num_heads, *,
+                    aan_sum=None, time=None, relu=False):
+    """One-step cross attention over precomputed memory projections.
+
+    mem_keep: [B, S] 1/0 pad mask. With ``aan_sum`` ([B, 1, hidden] running
+    sum) the AAN fuse path is added: aan_o = (v_q + sum) / (time + 1),
+    new_sum = sum + v_q (func.py:262-272, clean single-count semantics).
+    Returns (output, new_aan_sum or None).
+    """
+    q = nn.linear(params["q"], x_t)
+    keep = mem_keep.astype(jnp.float32)[:, None, None, :]
+    o, _ = _attn_core(q, mkv["mk"], mkv["mv"], keep, num_heads, relu=relu)
+    if relu and "post" in params:
+        o = gated_rms_norm(params["post"], o)
+
+    new_sum = None
+    if aan_sum is not None:
+        v_q = nn.linear(params["v"], x_t)
+        new_sum = aan_sum + v_q
+        aan_o = new_sum / (time + 1).astype(v_q.dtype)
+        o = o + aan_o
+
+    if "o" in params:
+        o = nn.linear(params["o"], o)
+    return o, new_sum
+
+
+# ---------------------------------------------------------------------------
+# additive (Bahdanau) attention for RNN decoders
+# ---------------------------------------------------------------------------
+
+def init_additive_attention(key, d_query: int, d_memory: int, hidden: int,
+                            num_heads: int = 1, att_fun: str = "add",
+                            weight_init=None, dtype=jnp.float32):
+    params = {
+        "feed_memory": nn.init_linear(jax.random.fold_in(key, 0), d_memory,
+                                      hidden, weight_init=weight_init,
+                                      dtype=dtype),
+        "feed_query": nn.init_linear(jax.random.fold_in(key, 1), d_query,
+                                     hidden, weight_init=weight_init,
+                                     dtype=dtype),
+    }
+    if att_fun == "add":
+        params["feed_logits"] = nn.init_linear(
+            jax.random.fold_in(key, 2), hidden // num_heads, 1,
+            weight_init=weight_init, dtype=dtype)
+    return params
+
+
+def additive_attention(params, query, memory, mem_mask, num_heads=1, *,
+                       proj_memory=None, rng=None, drop=None, att_fun="add"):
+    """Bahdanau attention (func.py:107-161).
+
+    query: [B, d]; memory: [B, S, dm]; mem_mask: [B, S].
+    Returns {'output': [B, dm], 'weights', 'cache_state': projected memory}.
+    """
+    if proj_memory is None:
+        proj_memory = nn.linear(params["feed_memory"], memory)
+    q = nn.linear(params["feed_query"], query[:, None, :])
+
+    qh = split_heads(q, num_heads)            # [B, H, 1, hidden/H]
+    pmh = split_heads(proj_memory, num_heads)  # [B, H, S, hidden/H]
+
+    if att_fun == "add":
+        value = jnp.tanh(qh + pmh)
+        logits = nn.linear(params["feed_logits"], value)[..., 0]  # [B, H, S]
+    else:
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qh, pmh)[:, :, 0, :]
+
+    logits = logits.astype(jnp.float32)
+    logits = jnp.where(mem_mask[:, None, :] > 0, logits, jnp.float32(-1e9))
+    weights = jax.nn.softmax(logits, axis=-1)             # [B, H, S]
+    dweights = dropout(rng, weights, drop)
+
+    mh = split_heads(memory, num_heads)                    # [B, H, S, dm/H]
+    value = jnp.sum(dweights[..., None].astype(memory.dtype) * mh, axis=-2)
+    value = value.reshape(value.shape[0], -1)              # [B, dm]
+    return {"weights": weights, "output": value, "cache_state": proj_memory}

@@ -1,0 +1,128 @@
+"""Shared functional utilities: rng threading, dropout, masking, smoothing.
+
+Counterparts of reference utils/util.py helpers (valid_apply_dropout:75-79,
+mask_scale:68-72, label_smooth:88-103, log_prob_from_logits:198-200) in
+pure-functional JAX form.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class Keys:
+    """Deterministic named PRNG-key derivation.
+
+    ``Keys(key)("encoder", 3)`` folds the name path into the base key; the
+    same path always yields the same subkey, making param init reproducible
+    and order-independent.
+    """
+
+    def __init__(self, key: jax.Array):
+        self.key = key
+
+    def __call__(self, *path) -> jax.Array:
+        k = self.key
+        for p in path:
+            if isinstance(p, str):
+                p = _string_hash(p)
+            k = jax.random.fold_in(k, p)
+        return k
+
+
+def _string_hash(s: str) -> int:
+    # stable across processes (unlike hash())
+    h = 2166136261
+    for ch in s.encode("utf-8"):
+        h = ((h ^ ch) * 16777619) & 0x7FFFFFFF
+    return h
+
+
+class RngGen:
+    """Trace-time splitter for dropout rngs inside an apply function.
+
+    Holds a base key and yields a fresh subkey per call. When constructed
+    with None, yields None -- downstream dropout becomes a no-op, which is
+    how eval/score paths disable dropout (reference closing_dropout,
+    utils/util.py:106-114).
+    """
+
+    def __init__(self, key: Optional[jax.Array]):
+        self._key = key
+        self._count = 0
+
+    def __call__(self) -> Optional[jax.Array]:
+        if self._key is None:
+            return None
+        self._count += 1
+        return jax.random.fold_in(self._key, self._count)
+
+
+def dropout(rng: Optional[jax.Array], x: jax.Array,
+            rate: Optional[float]) -> jax.Array:
+    """Inverted dropout; no-op when rate is falsy/invalid or rng is None
+    (reference valid_apply_dropout semantics)."""
+    if rng is None or rate is None or not (0.0 < rate < 1.0):
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, p=keep, shape=x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x)).astype(x.dtype)
+
+
+def mask_logits(logits: jax.Array, mask: jax.Array) -> jax.Array:
+    """Additively push masked (mask==0) positions to a large negative value.
+
+    Uses a dtype-appropriate big-negative instead of the reference's 1e8
+    constant (utils/util.py:68-72) so bf16 softmax stays finite.
+    """
+    neg = jnp.finfo(logits.dtype).min * jnp.array(0.5, logits.dtype)
+    return jnp.where(mask > 0, logits, neg)
+
+
+def log_prob_from_logits(logits: jax.Array) -> jax.Array:
+    return logits - jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+
+
+def label_smooth_loss(logits: jax.Array, labels: jax.Array, mask: jax.Array,
+                      factor: float = 0.1):
+    """Label-smoothed CE with normalizer subtraction and the reference's
+    per-sentence-mean-then-batch-mean reduction (transformer.py:198-216,
+    util.py:88-103). Returns (scalar loss, per-sentence loss [B]).
+
+    All-pad sentences (padded batch rows) contribute 0 and are excluded
+    from the batch mean, generalising the reference's zero-batch guard.
+    """
+    logits = logits.astype(jnp.float32)
+    vocab_size = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+
+    if 0.0 < factor < 1.0:
+        n = float(vocab_size - 1)
+        p = 1.0 - factor
+        q = factor / n
+        # cross entropy with the smoothed one-hot: p on gold, q elsewhere
+        sum_logp = jnp.sum(logp, axis=-1)
+        gold_logp = jnp.take_along_axis(
+            logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        centropy = -(p * gold_logp + q * (sum_logp - gold_logp))
+        normalizer = -(p * jnp.log(p) + n * q * jnp.log(q + 1e-20))
+        centropy = centropy - normalizer
+    else:
+        gold_logp = jnp.take_along_axis(
+            logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        centropy = -gold_logp
+
+    mask = mask.astype(jnp.float32)
+    msum = jnp.sum(mask, axis=-1)
+    per_sample = jnp.sum(centropy * mask, axis=-1) / jnp.maximum(msum, 1.0)
+    valid = (msum > 0).astype(jnp.float32)
+    loss = jnp.sum(per_sample * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+    return loss, per_sample
+
+
+def gumbel_noise(rng: jax.Array, shape, eps: float = 1e-8) -> jax.Array:
+    u = jax.random.uniform(rng, shape, minval=0.0, maxval=1.0)
+    return -jnp.log(-jnp.log(u + eps) + eps)
