@@ -1,0 +1,319 @@
+"""Shared transformer-family skeleton: embeddings, encoder/decoder drivers,
+loss, and the static-cache inference API.
+
+The reference duplicates this scaffolding across its 7 transformer variants
+(models/transformer*.py); here variants supply a ``LayerHooks`` bundle and
+share one skeleton, so the cache/dev-mode/loss semantics are identical by
+construction.
+
+Semantics preserved from the reference base model (models/transformer.py):
+  * embeddings scaled by sqrt(hidden) plus one bias shared between source
+    and target sides (tf AUTO_REUSE makes encoder/decoder 'bias' the same
+    variable, transformer.py:27+102)
+  * decoder-input shift-right after the bias add, so position 0 input is
+    the zero vector + timing signal (transformer.py:107-111)
+  * sharing flags: shared_source_target_embedding ties all three tables;
+    shared_target_softmax_embedding ties softmax to target
+    (transformer.py:22-27, 186-192)
+  * label-smoothed CE minus normalizer, per-sentence mean then batch mean,
+    computed in fp32 (transformer.py:196-216)
+  * ``remove_invalid_seq`` (util.py:274-287) is intentionally dropped:
+    it strips all-pad columns, a TF dynamic-shape trick; padding is fully
+    masked here and static shapes are required for XLA.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from zero_tpu.models.base import Inference
+from zero_tpu.ops import initializers as inits
+from zero_tpu.ops import nn
+from zero_tpu.ops.common import RngGen, dropout, label_smooth_loss
+
+
+class LayerHooks(NamedTuple):
+    """Per-variant layer constructors/applications.
+
+    All apply hooks receive cfg and a RngGen for dropout; decode hooks are
+    dropout-free (inference).
+    """
+    init_enc_layer: Callable  # (key, cfg, layer) -> params
+    enc_layer: Callable       # (p, x, src_keep, cfg, rngs) -> x
+    init_dec_layer: Callable  # (key, cfg, layer) -> params
+    dec_layer_train: Callable  # (p, x, state, self_keep, mem_keep, cfg, rngs, tgt_mask) -> x
+    dec_layer_precompute: Callable  # (p, encodes, cfg) -> layer_state
+    init_dec_layer_cache: Callable  # (p, batch, max_len, cfg, dtype) -> cache
+    dec_layer_step: Callable  # (p, x_t, layer_state, state, cache, time, cfg) -> (x_t, cache)
+    # optional encoder-output postprocessor (e.g. L0Drop): (params, state, cfg, rngs, training) -> state
+    post_encode: Optional[Callable] = None
+    # optional post-stack transforms (fixup's trailing shift/scale):
+    init_enc_post: Optional[Callable] = None  # (key, cfg) -> params
+    enc_post: Optional[Callable] = None       # (p, x) -> x
+    init_dec_post: Optional[Callable] = None  # (key, cfg) -> params
+    dec_post: Optional[Callable] = None       # (p, x) -> x
+
+
+def config_initializer(cfg):
+    return inits.get_initializer(cfg.initializer, cfg.initializer_gain)
+
+
+def layer_initializer(cfg, layer: int):
+    """Depth-scaled per-layer initializer when deep_transformer_init is on
+    (reference transformer.py:37-44), else the config initializer."""
+    if cfg.deep_transformer_init:
+        return inits.depth_scaled(layer, cfg.initializer_gain)
+    return config_initializer(cfg)
+
+
+# ---------------------------------------------------------------------------
+# embeddings
+# ---------------------------------------------------------------------------
+
+def init_embeddings(key, cfg, zero_softmax: bool = False):
+    """Embedding tables per the sharing flags + the shared scale bias.
+
+    zero_softmax: fixup zero-initialises the softmax table
+    (transformer_fixup.py:201)."""
+    emb_init = inits.normal(cfg.hidden_size ** -0.5)
+    params = {}
+    src_vocab = cfg.src_vocab.size()
+    tgt_vocab = cfg.tgt_vocab.size()
+    if cfg.shared_source_target_embedding:
+        params["embedding"] = emb_init(jax.random.fold_in(key, 0),
+                                       (src_vocab, cfg.embed_size))
+    else:
+        params["src_embedding"] = emb_init(jax.random.fold_in(key, 1),
+                                           (src_vocab, cfg.embed_size))
+        params["tgt_embedding"] = emb_init(jax.random.fold_in(key, 2),
+                                           (tgt_vocab, cfg.embed_size))
+        if not cfg.shared_target_softmax_embedding:
+            # fixup zero-initialises a *separate* softmax table; with
+            # sharing on, the tied table keeps its init (tf AUTO_REUSE
+            # ignores the zeros initializer, transformer_fixup.py:350-356)
+            init = inits.zeros() if zero_softmax else emb_init
+            params["softmax_embedding"] = init(jax.random.fold_in(key, 3),
+                                               (tgt_vocab, cfg.embed_size))
+    # one bias shared by source and target sides (AUTO_REUSE artifact)
+    params["emb_bias"] = config_initializer(cfg)(
+        jax.random.fold_in(key, 4), (cfg.embed_size,))
+    return params
+
+
+def emb_tables(params, cfg, zero_softmax: bool = False):
+    """Resolve (src, tgt, softmax) tables under the sharing flags."""
+    if cfg.shared_source_target_embedding:
+        e = params["embedding"]
+        return e, e, e
+    src = params["src_embedding"]
+    tgt = params["tgt_embedding"]
+    if not cfg.shared_target_softmax_embedding:
+        soft = params["softmax_embedding"]
+    else:
+        soft = tgt
+    return src, tgt, soft
+
+
+def embed_scaled(table, ids, bias, cfg, dtype):
+    """gather(emb) * sqrt(hidden) + bias (transformer.py:29-30)."""
+    x = jnp.take(table, ids, axis=0).astype(dtype)
+    x = x * (cfg.hidden_size ** 0.5)
+    return x + bias.astype(dtype)
+
+
+def shift_right(x):
+    """Prepend a zero vector and drop the last position
+    (transformer.py:107-111; applied post-bias, so the zero survives)."""
+    return jnp.pad(x, [(0, 0), (1, 0), (0, 0)])[:, :-1, :]
+
+
+def output_logits(feature, softmax_table):
+    """Weight-tied softmax logits in fp32 (transformer.py:190-196)."""
+    logits = jnp.einsum("...d,vd->...v", feature,
+                        softmax_table.astype(feature.dtype))
+    return logits.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# skeleton model
+# ---------------------------------------------------------------------------
+
+def make_transformer(hooks: LayerHooks, zero_softmax: bool = False,
+                     extra_init: Optional[Callable] = None,
+                     extra_loss: Optional[Callable] = None):
+    """Build (init_fn, train_fn, score_fn, infer_fn) from layer hooks.
+
+    extra_init(key, cfg) -> dict merged into params (e.g. L0Drop gate).
+    extra_loss(params, aux, cfg, step) -> scalar added to the loss (e.g.
+    expected-L0 penalty); ``aux`` is whatever post_encode stashed in state.
+    """
+
+    def init_fn(rng, cfg):
+        params = init_embeddings(jax.random.fold_in(rng, 0), cfg, zero_softmax)
+        params["encoder"] = [
+            hooks.init_enc_layer(jax.random.fold_in(rng, 100 + l), cfg, l)
+            for l in range(cfg.num_encoder_layer)]
+        params["decoder"] = [
+            hooks.init_dec_layer(jax.random.fold_in(rng, 200 + l), cfg, l)
+            for l in range(cfg.num_decoder_layer)]
+        if hooks.init_enc_post is not None:
+            params["enc_post"] = hooks.init_enc_post(
+                jax.random.fold_in(rng, 400), cfg)
+        if hooks.init_dec_post is not None:
+            params["dec_post"] = hooks.init_dec_post(
+                jax.random.fold_in(rng, 401), cfg)
+        if extra_init is not None:
+            params.update(extra_init(jax.random.fold_in(rng, 300), cfg))
+        return params
+
+    # -- encoder ------------------------------------------------------------
+    def _encode(params, source, cfg, rngs, dtype, training):
+        mask = (source != 0).astype(dtype)
+        src_table, _, _ = emb_tables(params, cfg, zero_softmax)
+        x = embed_scaled(src_table, source, params["emb_bias"], cfg, dtype)
+        x = nn.add_timing_signal(x)
+        x = dropout(rngs(), x, cfg.dropout if training else None)
+
+        src_keep = nn.masking_mask(mask)
+        for p in params["encoder"]:
+            x = hooks.enc_layer(p, x, src_keep, cfg, rngs)
+        if hooks.enc_post is not None:
+            x = hooks.enc_post(params["enc_post"], x)
+
+        state = {"encodes": x, "mask": mask}
+        if hooks.post_encode is not None:
+            state = hooks.post_encode(params, state, cfg, rngs, training)
+        return state
+
+    # -- decoder (training / scoring: full sequence) -------------------------
+    def _decode_train(params, target, state, cfg, rngs, dtype, training):
+        mask = (target != 0).astype(dtype)
+        _, tgt_table, soft_table = emb_tables(params, cfg, zero_softmax)
+        x = embed_scaled(tgt_table, target, params["emb_bias"], cfg, dtype)
+        x = shift_right(x)
+        x = nn.add_timing_signal(x)
+        x = dropout(rngs(), x, cfg.dropout if training else None)
+
+        length = target.shape[1]
+        self_keep = nn.causal_mask(length)
+        mem_keep = nn.masking_mask(state["mask"])
+        for p in params["decoder"]:
+            x = hooks.dec_layer_train(p, x, state, self_keep, mem_keep,
+                                      cfg, rngs, mask)
+        if hooks.dec_post is not None:
+            x = hooks.dec_post(params["dec_post"], x)
+        logits = output_logits(x, soft_table)
+        return logits, mask
+
+    def _loss(params, features, cfg, rng, step, training, label_smooth):
+        dtype = jnp.bfloat16 if cfg.default_dtype == "bfloat16" else jnp.float32
+        cparams = jax.tree.map(
+            lambda a: a.astype(dtype)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a, params)
+        rngs = RngGen(rng if training else None)
+        state = _encode(cparams, features["source"], cfg, rngs, dtype, training)
+        logits, mask = _decode_train(cparams, features["target"], state, cfg,
+                                     rngs, dtype, training)
+        loss, per_sample = label_smooth_loss(
+            logits, features["target"], mask, label_smooth)
+        if extra_loss is not None and training:
+            loss = loss + extra_loss(cparams, state, cfg, step)
+        return loss, per_sample
+
+    def train_fn(params, features, cfg, rng, step=0):
+        loss, _ = _loss(params, features, cfg, rng, step, True,
+                        cfg.label_smooth)
+        return {"loss": loss}
+
+    def score_fn(params, features, cfg):
+        # dropout off, label smoothing off (reference score_fn,
+        # transformer.py:235-249)
+        _, per_sample = _loss(params, features, cfg, None, 0, False, 0.0)
+        return {"score": per_sample}
+
+    # -- inference ------------------------------------------------------------
+    def infer_fn(cfg):
+        dtype = jnp.bfloat16 if cfg.default_dtype == "bfloat16" else jnp.float32
+
+        def encode(params, source):
+            cparams = jax.tree.map(
+                lambda a: a.astype(dtype)
+                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+                else a, params)
+            rngs = RngGen(None)
+            state = _encode(cparams, source, cfg, rngs, dtype, False)
+            # per-layer beam-invariant decode state (cross mk/mv)
+            state["layers"] = [
+                hooks.dec_layer_precompute(p, state["encodes"], cfg)
+                for p in cparams["decoder"]]
+            return state
+
+        def init_cache(params, state, batch, max_len):
+            return {
+                "layers": [hooks.init_dec_layer_cache(p, batch, max_len, cfg,
+                                                      dtype)
+                           for p in params["decoder"]],
+            }
+
+        def _embed_step(params, prev_tok, time):
+            _, tgt_table, _ = emb_tables(params, cfg, zero_softmax)
+            x = embed_scaled(tgt_table, prev_tok, params["emb_bias"], cfg,
+                             dtype)
+            # position 0's input is the zero vector (shift-right semantics;
+            # reference zeroes when the fed token batch is all-pad,
+            # transformer.py:113-115)
+            x = jnp.where(time > 0, x, jnp.zeros_like(x))
+            return nn.add_timing_signal(x, time=time)
+
+        def decode_step(params, prev_tok, state, cache, time):
+            cparams = jax.tree.map(
+                lambda a: a.astype(dtype)
+                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+                else a, params)
+            _, _, soft_table = emb_tables(cparams, cfg, zero_softmax)
+            x = _embed_step(cparams, prev_tok, time)
+            new_layer_caches = []
+            for p, lstate, lcache in zip(cparams["decoder"], state["layers"],
+                                         cache["layers"]):
+                x, new_c = hooks.dec_layer_step(p, x, lstate, state, lcache,
+                                                time, cfg)
+                new_layer_caches.append(new_c)
+            if hooks.dec_post is not None:
+                x = hooks.dec_post(cparams["dec_post"], x)
+            logits = output_logits(x[:, 0], soft_table)
+            return logits, {"layers": new_layer_caches}
+
+        def decode_prefix(params, tgt_buffer, state, time):
+            """Dev-mode oracle: full causal recompute over the [B, T_max]
+            buffer; positions > time are garbage but causally invisible."""
+            cparams = jax.tree.map(
+                lambda a: a.astype(dtype)
+                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+                else a, params)
+            rngs = RngGen(None)
+            _, tgt_table, soft_table = emb_tables(cparams, cfg, zero_softmax)
+            x = embed_scaled(tgt_table, tgt_buffer, cparams["emb_bias"], cfg,
+                             dtype)
+            x = shift_right(x)
+            x = nn.add_timing_signal(x)
+            length = tgt_buffer.shape[1]
+            self_keep = nn.causal_mask(length)
+            mem_keep = nn.masking_mask(state["mask"])
+            mask = jnp.ones_like(tgt_buffer).astype(dtype)
+            for p in cparams["decoder"]:
+                x = hooks.dec_layer_train(p, x, state, self_keep, mem_keep,
+                                          cfg, rngs, mask)
+            if hooks.dec_post is not None:
+                x = hooks.dec_post(cparams["dec_post"], x)
+            feature = jax.lax.dynamic_slice_in_dim(
+                x, jnp.asarray(time, jnp.int32), 1, axis=1)[:, 0]
+            return output_logits(feature, soft_table)
+
+        return Inference(encode=encode, init_cache=init_cache,
+                         decode_step=decode_step, decode_prefix=decode_prefix)
+
+    return init_fn, train_fn, score_fn, infer_fn

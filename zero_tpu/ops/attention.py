@@ -111,12 +111,14 @@ def combine_heads(x: jax.Array) -> jax.Array:
 
 
 def _attn_core(q, k, v, keep_mask, num_heads, *, rng=None, drop=None,
-               rpr_tables=None, rpr_ids=None, relu=False):
+               rpr_tables=None, rpr_ids=None, relu=False, count_weights=None):
     """Shared attention math on [B, L, hidden] projections.
 
     keep_mask: broadcastable to [B, 1, Lq, Lk]; 1 = attend, 0 = block.
     relu=True switches to ReLA: multiply-mask + relu instead of
-    softmax(-inf mask) (modules/rela.py:63-72). Returns ([B, Lq, hidden],
+    softmax(-inf mask) (modules/rela.py:63-72).
+    count_weights: [B, Lk] multiplies the exp-logits before normalisation
+    (L0Drop count softmax). Returns ([B, Lq, hidden],
     weights [B, H, Lq, Lk]).
     """
     qh = split_heads(q, num_heads)
@@ -136,6 +138,12 @@ def _attn_core(q, k, v, keep_mask, num_heads, *, rng=None, drop=None,
         if keep_mask is not None:
             logits = logits * keep_mask.astype(jnp.float32)
         weights = jax.nn.relu(logits)
+    elif count_weights is not None:
+        if keep_mask is not None:
+            logits = jnp.where(keep_mask > 0, logits, jnp.float32(-1e9))
+        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+        exp = jnp.exp(logits) * count_weights.astype(jnp.float32)[:, None, None, :]
+        weights = exp / jnp.sum(exp, axis=-1, keepdims=True)
     else:
         if keep_mask is not None:
             logits = jnp.where(keep_mask > 0, logits, jnp.float32(-1e9))
@@ -258,17 +266,29 @@ def cross_attn_precompute(params, memory):
 
 
 def cross_attn_step(params, x_t, mkv, mem_keep, num_heads, *,
-                    aan_sum=None, time=None, relu=False):
+                    aan_sum=None, time=None, relu=False,
+                    rpr_tables=None, max_relative_position=None,
+                    count_weights=None):
     """One-step cross attention over precomputed memory projections.
 
     mem_keep: [B, S] 1/0 pad mask. With ``aan_sum`` ([B, 1, hidden] running
     sum) the AAN fuse path is added: aan_o = (v_q + sum) / (time + 1),
     new_sum = sum + v_q (func.py:262-272, clean single-count semantics).
+    rpr_tables: relative positions between decode step ``time`` and memory
+    positions (transformer_rpr decoder cross attention).
+    count_weights: [B, S] multiplicative exp-weights for the L0Drop
+    count-renormalised softmax (transformer_l0drop.py:72-83).
     Returns (output, new_aan_sum or None).
     """
     q = nn.linear(params["q"], x_t)
     keep = mem_keep.astype(jnp.float32)[:, None, None, :]
-    o, _ = _attn_core(q, mkv["mk"], mkv["mv"], keep, num_heads, relu=relu)
+    rpr_ids = None
+    if rpr_tables is not None:
+        rpr_ids = rpr_mod.relative_positions_row(
+            time, mkv["mk"].shape[1], max_relative_position)
+    o, _ = _attn_core(q, mkv["mk"], mkv["mv"], keep, num_heads, relu=relu,
+                      rpr_tables=rpr_tables, rpr_ids=rpr_ids,
+                      count_weights=count_weights)
     if relu and "post" in params:
         o = gated_rms_norm(params["post"], o)
 

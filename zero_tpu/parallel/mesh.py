@@ -1,0 +1,115 @@
+"""Device mesh construction and parameter partition rules.
+
+Replaces the reference's device placement machinery (utils/parallel.py:18-
+118: tower replication + greedy variable placement) with jax.sharding:
+a 2D ('data', 'model') mesh; the batch axis is sharded over 'data' (pure DP,
+the reference's only strategy) and the big projection matrices are
+Megatron-style sharded over 'model' (tensor parallelism -- an extension the
+reference lacks; set mesh_model=1 to disable). GSPMD inserts all
+collectives (psum for DP grads, all-gather/reduce-scatter for TP) over ICI;
+no NCCL-equivalent user code exists, by design (SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(cfg=None, data: Optional[int] = None,
+              model: Optional[int] = None, devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh over available devices."""
+    devices = devices if devices is not None else jax.devices()
+    if cfg is not None:
+        model = model or int(getattr(cfg, "mesh_model", 1))
+        data = data or int(getattr(cfg, "mesh_data", -1))
+    model = model or 1
+    if data is None or data <= 0:
+        data = len(devices) // model
+    used = devices[:data * model]
+    arr = np.asarray(used).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+# Megatron-style tensor-parallel layout: column-parallel qkv/q/k/v/enlarge
+# (output dim sharded), row-parallel o/output (input dim sharded), vocab-dim
+# sharded embeddings. Everything else (LN, biases of row-parallel layers,
+# scalars) is replicated.
+_COL_PAT = re.compile(r"(qkv|q_map|\bq\b|\bk\b|\bv\b|enlarge|z_project)")
+_ROW_PAT = re.compile(r"(\bo\b|output)")
+_EMB_PAT = re.compile(r"(embedding)$")
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def spec_for_param(path: str, shape) -> P:
+    """PartitionSpec for one parameter by its tree path and shape."""
+    parts = path.split("/")
+    if _EMB_PAT.search(parts[-1] if parts else path) and len(shape) == 2:
+        return P("model", None)
+    # find the enclosing module name (ws/b live under the linear's name)
+    module = ""
+    for comp in reversed(parts):
+        if comp in ("ws", "b", "lns") or comp.isdigit():
+            continue
+        module = comp
+        break
+    if len(shape) == 2:
+        if _COL_PAT.search(module):
+            return P(None, "model")
+        if _ROW_PAT.search(module):
+            return P("model", None)
+    if len(shape) == 1 and parts and parts[-1] != "b":
+        return P()
+    if len(shape) == 1 and _COL_PAT.search(module):
+        return P("model")
+    return P()
+
+
+def param_sharding(params, mesh: Mesh):
+    """NamedSharding tree for a param pytree under the TP rules.
+
+    Dims not divisible by their mesh axis (e.g. an odd vocab size) fall
+    back to replication on that axis."""
+    def mk(path, leaf):
+        if not hasattr(leaf, "shape"):
+            return NamedSharding(mesh, P())
+        spec = spec_for_param(_path_str(path), leaf.shape)
+        fixed = []
+        for d, axis in enumerate(spec):
+            if axis is not None and leaf.shape[d] % mesh.shape[axis] != 0:
+                axis = None
+            fixed.append(axis)
+        return NamedSharding(mesh, P(*fixed))
+    return jax.tree_util.tree_map_with_path(mk, params)
+
+
+def batch_sharding(batch, mesh: Mesh, batch_axis: int = 0):
+    """Shard the batch dimension over the 'data' mesh axis."""
+    def mk(leaf):
+        spec = [None] * leaf.ndim
+        spec[batch_axis] = "data"
+        return NamedSharding(mesh, P(*spec))
+    return jax.tree.map(mk, batch)
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_tree(tree, shardings):
+    return jax.device_put(tree, shardings)

@@ -1,0 +1,167 @@
+"""The jitted SPMD training step: grads, accumulation, clipping, Adam, EMA.
+
+Replaces the reference's tower graphs + feed_dict + cycle ops
+(utils/cycle.py:47-135, utils/parallel.py:134-208, main.py:22-45):
+  * gradient accumulation = lax.scan over stacked microbatches inside the
+    step (update_cycle semantics: final grad/loss are means over cycles)
+  * gradient averaging across data-parallel shards happens implicitly: the
+    loss is a global mean under GSPMD, no explicit psum needed
+  * clipping by global norm after averaging (cycle.py:97-101)
+  * Adam with the learning rate passed from the host each step (the
+    reference's lr placeholder, main.py:157,292)
+  * optional EMA of weights (cycle.py:114-127)
+  * safe_nan: skip the update in-graph when loss/gnorm is non-finite or
+    gnorm exceeds gnorm_upper_bound (main.py:320-332)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from zero_tpu.parallel import mesh as mesh_lib
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    ema: Optional[Any]  # EMA param tree or None
+    step: jax.Array
+
+
+def make_optimizer(cfg):
+    return optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=cfg.epsilon)
+
+
+def init_train_state(model, cfg, rng, mesh=None) -> TrainState:
+    params = model.init_fn(rng, cfg)
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+    ema = jax.tree.map(jnp.copy, params) if cfg.ema_decay > 0 else None
+    state = TrainState(params=params, opt_state=opt_state, ema=ema,
+                       step=jnp.zeros((), jnp.int32))
+    if mesh is not None:
+        pspec = mesh_lib.param_sharding(params, mesh)
+        state = TrainState(
+            params=jax.device_put(params, pspec),
+            opt_state=jax.device_put(opt_state,
+                                     _opt_sharding(opt_state, pspec, mesh)),
+            ema=jax.device_put(ema, pspec) if ema is not None else None,
+            step=jax.device_put(state.step, mesh_lib.replicated(mesh)))
+    return state
+
+
+def _opt_sharding(opt_state, param_sharding_tree, mesh):
+    """Adam m/v mirror the param shardings; scalars replicated."""
+    def mk(leaf):
+        return mesh_lib.replicated(mesh)
+    # ScaleByAdamState(count, mu, nu): mu/nu are param-shaped trees
+    state = opt_state
+    if isinstance(state, optax.ScaleByAdamState):
+        return optax.ScaleByAdamState(
+            count=mesh_lib.replicated(mesh),
+            mu=param_sharding_tree,
+            nu=param_sharding_tree)
+    return jax.tree.map(mk, state)
+
+
+def stack_microbatches(batches):
+    """Stack update_cycle host batches into [C, B, L] arrays, padding each
+    to the common max shape (reference feeds per-GPU placeholders of
+    independent shapes, main.py:268-294; one stacked scan input replaces
+    them)."""
+    keys = ("source", "target")
+    out = {}
+    for k in keys:
+        arrs = [b[k] for b in batches]
+        max_b = max(a.shape[0] for a in arrs)
+        max_l = max(a.shape[1] for a in arrs)
+        padded = [np.pad(a, ((0, max_b - a.shape[0]), (0, max_l - a.shape[1])))
+                  for a in arrs]
+        out[k] = np.stack(padded, axis=0)
+    return out
+
+
+def make_train_step(model, cfg, mesh=None, donate: bool = True):
+    """Build the jitted step:
+    (state, batch, lr, rng) -> (state, metrics).
+
+    ``batch`` leaves are [C, B, L] int32 with C = update_cycle (C=1 is a
+    squeezed fast path inside the same function).
+    """
+    tx = make_optimizer(cfg)
+    clip_norm = float(cfg.clip_grad_norm or 0.0)
+    ema_decay = float(cfg.ema_decay)
+    safe_nan = bool(cfg.safe_nan)
+    gnorm_bound = float(cfg.gnorm_upper_bound)
+
+    def loss_fn(params, feats, rng, step):
+        out = model.train_fn(params, feats, cfg, rng, step=step)
+        return out["loss"]
+
+    def step_fn(state: TrainState, batch, lr, rng):
+        params = state.params
+        cycles = batch["source"].shape[0]
+
+        grad_fn = jax.value_and_grad(loss_fn)
+
+        if cycles == 1:
+            feats = {k: v[0] for k, v in batch.items()}
+            loss, grads = grad_fn(params, feats, rng, state.step)
+        else:
+            def micro(carry, xs):
+                gsum, lsum = carry
+                feats, key = xs
+                l, g = grad_fn(params, feats, key, state.step)
+                return (jax.tree.map(jnp.add, gsum, g), lsum + l), None
+
+            zero_g = jax.tree.map(jnp.zeros_like, params)
+            keys = jax.random.split(rng, cycles)
+            (gsum, lsum), _ = jax.lax.scan(
+                micro, (zero_g, jnp.zeros((), jnp.float32)), (batch, keys))
+            grads = jax.tree.map(lambda g: g / cycles, gsum)
+            loss = lsum / cycles
+
+        gnorm = optax.global_norm(grads)
+        if clip_norm > 0:
+            scale = jnp.minimum(1.0, clip_norm / jnp.maximum(gnorm, 1e-12))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, params)
+        new_params = jax.tree.map(
+            lambda p, u: (p - lr * u.astype(p.dtype)), params, updates)
+
+        if safe_nan:
+            ok = jnp.isfinite(loss) & jnp.isfinite(gnorm) \
+                & (gnorm < gnorm_bound)
+            new_params = jax.tree.map(
+                lambda n, o: jnp.where(ok, n, o), new_params, params)
+            new_opt_state = jax.tree.map(
+                lambda n, o: jnp.where(ok, n, o), new_opt_state,
+                state.opt_state)
+
+        new_ema = state.ema
+        if state.ema is not None:
+            new_ema = jax.tree.map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                state.ema, new_params)
+
+        pnorm = optax.global_norm(new_params)
+        metrics = {"loss": loss, "gnorm": gnorm, "pnorm": pnorm}
+        return TrainState(params=new_params, opt_state=new_opt_state,
+                          ema=new_ema, step=state.step + 1), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_score_step(model, cfg):
+    """Jitted teacher-forced scoring: (params, feats) -> [B] scores."""
+    @jax.jit
+    def score(params, feats):
+        return model.score_fn(params, feats, cfg)["score"]
+    return score
