@@ -78,7 +78,8 @@ class Dataset:
                  max_len: int = 100, batch_or_token: str = "batch",
                  data_leak_ratio: float = 0.5,
                  pad_seq_multiple: int = 1,
-                 pad_batch_multiple: int = 1):
+                 pad_batch_multiple: int = 1,
+                 pad_batch_to: int = 0):
         self.source = src_file
         self.target = tgt_file
         self.src_vocab = src_vocab
@@ -88,6 +89,9 @@ class Dataset:
         self.data_leak_ratio = data_leak_ratio
         self.pad_seq_multiple = pad_seq_multiple
         self.pad_batch_multiple = pad_batch_multiple
+        # pad every batch up to this many rows (eval: one jit shape per
+        # sequence bucket instead of one per tail-batch size)
+        self.pad_batch_to = pad_batch_to
 
         self.leak_buffer: List[Tuple[int, List[int], List[int]]] = []
 
@@ -122,7 +126,8 @@ class Dataset:
 
         src_len = round_up(src_len, self.pad_seq_multiple)
         tgt_len = round_up(tgt_len, self.pad_seq_multiple)
-        padded_bs = round_up(batch_size, self.pad_batch_multiple)
+        padded_bs = max(round_up(batch_size, self.pad_batch_multiple),
+                        self.pad_batch_to)
 
         s = np.zeros([padded_bs, src_len], dtype=np.int32)
         t = np.zeros([padded_bs, tgt_len], dtype=np.int32)

@@ -1,0 +1,375 @@
+"""Training / evaluation / scoring / ensemble drivers (L5).
+
+Counterpart of reference main.py: the epoch/step loop with gradient-
+accumulation grouping, NaN abort (or safe_nan skip), periodic
+disp/save/eval/sample triggers, mid-epoch resume by skipping `lidx`
+batches, dev-BLEU-driven best checkpointing + early stop, EMA weight swap
+for eval, final evaluation; plus the eval/score/ensemble entry points.
+The reference's tower replication + feed_dict becomes one jitted SPMD step
+on a ('data','model') mesh fed by a prefetching, double-buffered pipeline.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zero_tpu import evalu, lrs
+from zero_tpu.data import Dataset
+from zero_tpu.models.base import get_model
+from zero_tpu.parallel import (batch_sharding, init_train_state, make_mesh,
+                               make_train_step, stack_microbatches)
+from zero_tpu.parallel.train_step import make_score_step
+from zero_tpu.pipeline import Prefetcher
+from zero_tpu.saver import Saver
+from zero_tpu.search import beam_search
+
+log = logging.getLogger("zero_tpu.train")
+
+
+def _make_dataset(params, src, tgt, train=True):
+    return Dataset(src, tgt, params.src_vocab, params.tgt_vocab,
+                   max_len=params.max_len if train else params.eval_max_len,
+                   batch_or_token=params.batch_or_token if train else "batch",
+                   data_leak_ratio=params.data_leak_ratio,
+                   pad_seq_multiple=params.pad_seq_multiple,
+                   pad_batch_multiple=params.pad_batch_multiple if train else 1,
+                   # eval batches all share one batch shape so the jitted
+                   # beam search compiles once per sequence bucket
+                   pad_batch_to=0 if train else params.eval_batch_size)
+
+
+def make_decode_fn(params, model=None, inference=None):
+    """Jitted beam-search callable over numpy sources."""
+    model = model or get_model(params.model_name)
+    inference = inference or model.infer_fn(params)
+
+    @jax.jit
+    def _run(weights, source):
+        return beam_search(weights, source, inference, params)
+
+    def decode(weights, source_np):
+        return _run(weights, jnp.asarray(source_np))
+    return decode
+
+
+def _dev_eval(params, decode, weights, dev_dataset, out_prefix: str):
+    translations, scores, indices = evalu.decoding(
+        lambda src: decode(weights, src), dev_dataset, params)
+    bleu = evalu.eval_metric(translations, params.tgt_dev_file, indices)
+    if out_prefix:
+        evalu.dump_translation(translations, out_prefix, indices)
+    return bleu, translations
+
+
+def train(params) -> bool:
+    model = get_model(params.model_name)
+    mesh = make_mesh(params)
+    log.info("Mesh: %s", mesh)
+
+    train_dataset = _make_dataset(params, params.src_train_file,
+                                  params.tgt_train_file, train=True)
+    dev_dataset = _make_dataset(params, params.src_dev_file,
+                                params.tgt_dev_file, train=False)
+
+    # model + optimizer state (sharded over the mesh)
+    rng = jax.random.PRNGKey(params.random_seed)
+    state = init_train_state(model, params, rng, mesh)
+    num_params = sum(int(np.prod(x.shape))
+                     for x in jax.tree.leaves(state.params))
+    log.info("Total trainable variables size: %d", num_params)
+
+    step_fn = make_train_step(model, params, mesh)
+    decode = make_decode_fn(params, model)
+
+    saver = Saver(checkpoints=params.checkpoints,
+                  output_dir=params.output_dir,
+                  best_checkpoints=params.best_checkpoints)
+
+    # warm start from a pretrained model, then own dir (main.py:222-226)
+    templates = {"params": state.params, "opt": state.opt_state,
+                 "ema": state.ema}
+    if params.pretrained_model:
+        restored = saver.restore(templates, params.pretrained_model)
+        state = state._replace(params=restored["params"],
+                               opt_state=restored["opt"],
+                               ema=restored["ema"])
+    restored = saver.restore({"params": state.params, "opt": state.opt_state,
+                              "ema": state.ema})
+    state = state._replace(params=restored["params"],
+                           opt_state=restored["opt"], ema=restored["ema"])
+
+    recorder = params.recorder
+    adapt_lr = lrs.get_lr(params)
+    adapt_lr.lrate = recorder.lrate
+
+    state = state._replace(step=jnp.asarray(recorder.step, jnp.int32))
+
+    cycle = max(int(params.update_cycle), 1)
+    data_rng = jax.random.PRNGKey(params.random_seed + 7)
+    should_stop = False
+
+    for epoch in range(recorder.epoch, params.epoches + 1):
+        log.info("Training at Epoch %d", epoch)
+        adapt_lr.before_epoch(eidx=epoch)
+
+        queue = Prefetcher(
+            lambda: train_dataset.batcher(
+                params.batch_size if params.batch_or_token == "batch"
+                else params.token_size,
+                buffer_size=params.buffer_size,
+                shuffle=params.shuffle_batch, train=True),
+            maxsize=params.output_queue_size,
+            num_threads=max(params.process_num, 1))
+
+        micro_group = []
+        lidx = -1
+        for batch in queue:
+            lidx += 1
+            # mid-epoch resume: skip already-consumed batches (main.py:257-264)
+            if epoch == recorder.epoch and lidx <= recorder.lidx:
+                continue
+
+            micro_group.append(batch)
+            if len(micro_group) < cycle:
+                continue
+
+            step = int(state.step)
+            adapt_lr.step(step)
+            lr = adapt_lr.get_lr()
+
+            stacked = stack_microbatches(
+                [{"source": b["src"], "target": b["tgt"]}
+                 for b in micro_group])
+            token_count = int(sum((b["tgt"] > 0).sum() for b in micro_group))
+            shapes = [tuple(b["src"].shape) for b in micro_group]
+            micro_group = []
+            device_batch = jax.device_put(
+                stacked, batch_sharding(stacked, mesh, batch_axis=1))
+
+            start_time = time.time()
+            state, metrics = step_fn(state, device_batch, lr,
+                                     jax.random.fold_in(data_rng, step))
+            step = int(state.step)
+
+            if step % params.disp_freq == 0:
+                loss = float(metrics["loss"])
+                gnorm = float(metrics["gnorm"])
+                pnorm = float(metrics["pnorm"])
+                duration = time.time() - start_time
+                if not params.safe_nan and (np.isnan(loss) or np.isinf(loss)):
+                    log.error("Nan or Inf raised at step %d; abort training",
+                              step)
+                    recorder.estop = True
+                    break
+                log.info("%d/%d, loss %.3f, gnorm %.2f, pnorm %.2f, "
+                         "lr %.6f, batch %s, tokens %d, UD %.3f s",
+                         epoch, step, loss, gnorm, pnorm, lr,
+                         shapes, token_count, duration)
+
+            recorder.step = step
+            recorder.lidx = lidx
+            recorder.lrate = float(lr)
+            recorder.epoch = epoch
+
+            if params.save_freq > 0 and step % params.save_freq == 0:
+                saver.save({"params": state.params, "opt": state.opt_state,
+                            "ema": state.ema}, step)
+                recorder.save_to_json(
+                    os.path.join(params.output_dir, "record.json"))
+
+            if params.sample_freq > 0 and step % params.sample_freq == 0:
+                _sample_decode(params, decode, _eval_weights(params, state),
+                               batch)
+
+            if params.eval_freq > 0 and step % params.eval_freq == 0:
+                bleu, _ = _dev_eval(
+                    params, decode, _eval_weights(params, state), dev_dataset,
+                    os.path.join(params.output_dir, "trans.txt"))
+                log.info("Step %d, BLEU %.4f, Best BLEU %.4f", step, bleu,
+                         max(saver.best_score, bleu))
+                recorder.history_scores.append([step, float(bleu)])
+                recorder.valid_script_scores.append([step, float(bleu)])
+                saver.save({"params": state.params, "opt": state.opt_state,
+                            "ema": state.ema}, step, bleu)
+                recorder.save_to_json(
+                    os.path.join(params.output_dir, "record.json"))
+                adapt_lr.after_eval(float(bleu))
+                # early stop on patience exhausted (main.py:381-401)
+                best = max(v[1] for v in recorder.history_scores)
+                if float(bleu) < best:
+                    recorder.bad_counter += 1
+                    if recorder.bad_counter > params.estop_patience:
+                        recorder.estop = True
+                        log.info("Early stopped at step %d", step)
+                        break
+                else:
+                    recorder.bad_counter = 0
+
+            if step >= params.max_training_steps:
+                should_stop = True
+                break
+
+        if recorder.estop or should_stop:
+            break
+        recorder.lidx = -1
+        adapt_lr.after_epoch(eidx=epoch)
+        recorder.epoch = epoch + 1
+
+    # final save + eval (main.py:441-466)
+    step = int(state.step)
+    saver.save({"params": state.params, "opt": state.opt_state,
+                "ema": state.ema}, step)
+    recorder.save_to_json(os.path.join(params.output_dir, "record.json"))
+    if params.src_dev_file:
+        bleu, _ = _dev_eval(params, decode, _eval_weights(params, state),
+                            dev_dataset,
+                            os.path.join(params.output_dir, "trans.txt"))
+        log.info("Final BLEU %.4f at step %d", bleu, step)
+        saver.save({"params": state.params, "opt": state.opt_state,
+                    "ema": state.ema}, step, bleu)
+    log.info("Training finished at step %d", step)
+    return True
+
+
+def _eval_weights(params, state):
+    """EMA weight swap for eval when enabled (main.py:357-371)."""
+    if params.ema_decay > 0 and state.ema is not None:
+        return state.ema
+    return state.params
+
+
+def _sample_decode(params, decode, weights, batch) -> None:
+    """Decode a handful of training sentences for human inspection
+    (main.py:407-421)."""
+    n = min(5, len(batch["raw"]))
+    src = batch["src"][:n]
+    out = decode(weights, src)
+    seqs = np.asarray(out["seq"])
+    for i in range(n):
+        src_toks = evalu.decode_target_token(src[i], params.src_vocab)
+        ref_toks = evalu.decode_target_token(batch["tgt"][i],
+                                             params.tgt_vocab)
+        hyp_toks = evalu.decode_target_token(seqs[i][0], params.tgt_vocab)
+        log.info("sample %d", i)
+        log.info("source:      %s", " ".join(src_toks))
+        log.info("reference:   %s", " ".join(ref_toks))
+        log.info("translation: %s", " ".join(hyp_toks))
+
+
+def _restore_eval_params(params, model):
+    """Init + restore weights for eval/score modes; EMA weights win when
+    enabled (main.py:508-529)."""
+    state_params = model.init_fn(jax.random.PRNGKey(params.random_seed),
+                                 params)
+    saver = Saver(checkpoints=params.checkpoints,
+                  output_dir=params.output_dir,
+                  best_checkpoints=params.best_checkpoints)
+    templates = {"params": state_params}
+    if params.ema_decay > 0:
+        templates["ema"] = state_params
+    restored = saver.restore(templates)
+    if params.ema_decay > 0 and restored.get("ema") is not None:
+        return restored["ema"]
+    return restored["params"]
+
+
+def evaluate(params) -> float:
+    model = get_model(params.model_name)
+    weights = _restore_eval_params(params, model)
+    decode = make_decode_fn(params, model)
+    test_dataset = _make_dataset(params, params.src_test_file,
+                                 params.tgt_test_file, train=False)
+    begin = time.time()
+    translations, scores, indices = evalu.decoding(
+        lambda src: decode(weights, src), test_dataset, params)
+    bleu = evalu.eval_metric(translations, params.tgt_test_file, indices)
+    log.info("Translation Performance, BLEU Score: %.4f, using %.3f s",
+             bleu, time.time() - begin)
+    out = params.test_output or os.path.join(params.output_dir, "trans.txt")
+    evalu.dump_translation(translations, out, indices)
+    return bleu
+
+
+def scorer(params):
+    model = get_model(params.model_name)
+    weights = _restore_eval_params(params, model)
+    score_step = make_score_step(model, params)
+
+    def score_fn(src, tgt):
+        return score_step(weights, {"source": jnp.asarray(src),
+                                    "target": jnp.asarray(tgt)})
+
+    test_dataset = _make_dataset(params, params.src_test_file,
+                                 params.tgt_test_file, train=False)
+    scores, ppl = evalu.scoring(score_fn, test_dataset, params)
+    log.info("Average per-sentence score: %.4f, corpus ppl: %.4f",
+             float(np.mean(scores)), ppl)
+    out = params.test_output or os.path.join(params.output_dir, "scores.txt")
+    evalu.dump_translation(scores, out)
+    return scores, ppl
+
+
+def make_ensemble_inference(inferences):
+    """Compose N model inferences into one: per-step probability averaging
+    (reference main.py:86-103: mean of softmaxes, then log)."""
+    from zero_tpu.models.base import Inference
+
+    def encode(all_params, source):
+        return [inf.encode(p, source)
+                for inf, p in zip(inferences, all_params)]
+
+    def init_cache(all_params, states, batch, max_len):
+        return [inf.init_cache(p, s, batch, max_len)
+                for inf, p, s in zip(inferences, all_params, states)]
+
+    def decode_step(all_params, prev_tok, states, caches, time):
+        probs = None
+        new_caches = []
+        for inf, p, s, c in zip(inferences, all_params, states, caches):
+            logits, new_c = inf.decode_step(p, prev_tok, s, c, time)
+            prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            probs = prob if probs is None else probs + prob
+            new_caches.append(new_c)
+        probs = probs / len(inferences)
+        return jnp.log(probs + 1e-20), new_caches
+
+    def decode_prefix(all_params, buffer, states, time):
+        probs = None
+        for inf, p, s in zip(inferences, all_params, states):
+            logits = inf.decode_prefix(p, buffer, s, time)
+            prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            probs = prob if probs is None else probs + prob
+        probs = probs / len(inferences)
+        return jnp.log(probs + 1e-20)
+
+    return Inference(encode=encode, init_cache=init_cache,
+                     decode_step=decode_step, decode_prefix=decode_prefix)
+
+
+def ensemble(all_params) -> float:
+    """Decode with an ensemble of separately-trained models
+    (main.py:623-747)."""
+    default = all_params[0]
+    models = [get_model(p.model_name) for p in all_params]
+    weights = [_restore_eval_params(p, m)
+               for p, m in zip(all_params, models)]
+    inferences = [m.infer_fn(p) for m, p in zip(models, all_params)]
+    ens_inf = make_ensemble_inference(inferences)
+    decode = make_decode_fn(default, models[0], inference=ens_inf)
+
+    test_dataset = _make_dataset(default, default.src_test_file,
+                                 default.tgt_test_file, train=False)
+    translations, scores, indices = evalu.decoding(
+        lambda src: decode(weights, src), test_dataset, default)
+    bleu = evalu.eval_metric(translations, default.tgt_test_file, indices)
+    log.info("Ensemble Translation Performance, BLEU Score: %.4f", bleu)
+    out = default.test_output or os.path.join(default.output_dir, "trans.txt")
+    evalu.dump_translation(translations, out, indices)
+    return bleu
