@@ -1,0 +1,84 @@
+"""Benchmark: transformer-base training throughput (tokens/sec/chip).
+
+Runs the full jitted train step (fwd+bwd+Adam, bf16 compute / fp32 params)
+on WMT-shaped synthetic batches on the available chip(s) and prints ONE
+JSON line:
+
+  {"metric": "train_tokens_per_sec_per_chip", "value": N,
+   "unit": "tokens/s/chip", "vs_baseline": R}
+
+vs_baseline divides by 20000 tokens/s -- a representative TF1-era
+transformer-base per-GPU training throughput (the reference publishes no
+throughput numbers; BASELINE.md "no tokens/sec figures anywhere"), so R>1
+means faster than the TF1 baseline class.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+BASELINE_TOKENS_PER_SEC = 20000.0
+
+
+def main():
+    from __graft_entry__ import _base_config
+    from zero_tpu.models.base import get_model
+    from zero_tpu.parallel import (batch_sharding, init_train_state,
+                                   make_mesh, make_train_step)
+
+    n_chips = len(jax.devices())
+    cfg = _base_config()
+    cfg.mesh_model = 1
+    cfg.mesh_data = n_chips
+    mesh = make_mesh(cfg)
+
+    model = get_model("transformer")
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0), mesh)
+    step_fn = make_train_step(model, cfg, mesh)
+
+    # WMT-shaped batch: ~4096 target tokens per chip at length 64
+    batch_rows = 64 * n_chips
+    seq_len = 64
+    rs = np.random.RandomState(0)
+    batch = {
+        "source": rs.randint(3, 30000, (1, batch_rows, seq_len))
+        .astype(np.int32),
+        "target": rs.randint(3, 30000, (1, batch_rows, seq_len))
+        .astype(np.int32),
+    }
+    device_batch = jax.device_put(
+        batch, batch_sharding(batch, mesh, batch_axis=1))
+    tokens_per_step = batch_rows * seq_len  # target tokens (all non-pad)
+
+    rng = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    for i in range(3):
+        state, metrics = step_fn(state, device_batch, 1e-4,
+                                 jax.random.fold_in(rng, i))
+    jax.block_until_ready(metrics["loss"])
+
+    n_steps = 30
+    start = time.perf_counter()
+    for i in range(n_steps):
+        state, metrics = step_fn(state, device_batch, 1e-4,
+                                 jax.random.fold_in(rng, 100 + i))
+    jax.block_until_ready(metrics["loss"])
+    elapsed = time.perf_counter() - start
+
+    tokens_per_sec = tokens_per_step * n_steps / elapsed
+    per_chip = tokens_per_sec / n_chips
+    print(json.dumps({
+        "metric": "train_tokens_per_sec_per_chip",
+        "value": round(per_chip, 1),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(per_chip / BASELINE_TOKENS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
