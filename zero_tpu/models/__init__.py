@@ -16,3 +16,6 @@ from zero_tpu.models import transformer_fuse  # noqa: F401
 from zero_tpu.models import transformer_rela  # noqa: F401
 from zero_tpu.models import transformer_fixup  # noqa: F401
 from zero_tpu.models import transformer_l0drop  # noqa: F401
+from zero_tpu.models import rnnsearch  # noqa: F401
+from zero_tpu.models import deepnmt  # noqa: F401
+from zero_tpu.models import rnnsearch_deepatt  # noqa: F401
