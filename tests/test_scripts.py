@@ -1,0 +1,76 @@
+"""Offline-script tests: checkpoint averaging, shuffle, analyzers."""
+
+import numpy as np
+
+from zero_tpu.saver import (Saver, _read_index, load_checkpoint_file,
+                            save_checkpoint_file, _write_index)
+from zero_tpu.scripts.bleu_over_length import bleu_over_length
+from zero_tpu.scripts.checkpoint_averaging import average_checkpoints
+from zero_tpu.scripts.evaluate_pos_translation_rate import evaluate
+from zero_tpu.scripts.shuffle_corpus import shuffle_corpus
+
+
+def test_checkpoint_averaging(tmp_path):
+    d = tmp_path / "train"
+    d.mkdir()
+    names = []
+    for i, val in enumerate([1.0, 2.0, 3.0]):
+        tree = {"w": np.full((4,), val, np.float32),
+                "nested": {"b": np.full((2, 2), val * 10, np.float32)}}
+        save_checkpoint_file(str(d), "model-%d" % i, {"params": tree})
+        names.append("model-%d" % i)
+    _write_index(str(d), names)
+
+    out = tmp_path / "avg"
+    path = average_checkpoints(str(d), str(out), checkpoints=3)
+    flat = load_checkpoint_file(path)
+    np.testing.assert_allclose(flat["params/w"], np.full((4,), 2.0))
+    np.testing.assert_allclose(flat["params/nested/b"], np.full((2, 2), 20.0))
+    assert _read_index(str(out)) == ["model-avg"]
+
+
+def test_checkpoint_averaging_respects_k(tmp_path):
+    d = tmp_path / "train"
+    d.mkdir()
+    names = []
+    for i, val in enumerate([1.0, 5.0, 7.0]):
+        save_checkpoint_file(str(d), "model-%d" % i,
+                             {"params": {"w": np.full((2,), val, np.float32)}})
+        names.append("model-%d" % i)
+    _write_index(str(d), names)
+    path = average_checkpoints(str(d), str(tmp_path / "avg"), checkpoints=2)
+    flat = load_checkpoint_file(path)
+    np.testing.assert_allclose(flat["params/w"], np.full((2,), 6.0))
+
+
+def test_shuffle_corpus_joint(tmp_path):
+    a = tmp_path / "a.txt"
+    b = tmp_path / "b.txt"
+    a.write_text("\n".join("a%d" % i for i in range(20)) + "\n")
+    b.write_text("\n".join("b%d" % i for i in range(20)) + "\n")
+    outs = shuffle_corpus([str(a), str(b)], seed=3)
+    la = open(outs[0]).read().split()
+    lb = open(outs[1]).read().split()
+    # same permutation applied jointly
+    assert [x[1:] for x in la] == [x[1:] for x in lb]
+    assert sorted(la) == sorted("a%d" % i for i in range(20))
+    assert la != ["a%d" % i for i in range(20)]  # actually shuffled
+
+
+def test_bleu_over_length_groups():
+    src = [["x"], ["x", "x"], ["x"] * 3, ["x"] * 4]
+    cand = [["a"], ["b", "b"], ["c"] * 3, ["d"] * 4]
+    refs = [[["a"]], [["b", "b"]], [["c"] * 3], [["z"] * 4]]
+    results = bleu_over_length(src, cand, refs, groups=2, n=1)
+    assert len(results) == 2
+    assert results[0][0] < results[1][0]  # avg length increases
+    assert results[0][1] > results[1][1]  # first group perfect, second not
+
+
+def test_pos_translation_rate():
+    refs = [["the_DT cat_NN sat_VB"]]
+    trans = ["the_DT cat_NN ran_VB"]
+    p, r, f = evaluate(refs, trans, "NN", 1)
+    assert p == 1.0 and r == 1.0
+    p, r, f = evaluate(refs, trans, "VB", 1)
+    assert p == 0.0 and r == 0.0
