@@ -296,6 +296,8 @@ def default_config() -> Config:
         audio_frame_stride=1,
         asr_pretrain="",
         afs_l0_scalar=0.5,
+        afs_mode="tf",             # 't' temporal only | 'tf' temporal+feature
+        num_st_encoder_layer=6,
         ctc_alpha=0.3,
         ctc_repeated=False,
         ctc_enable=False,

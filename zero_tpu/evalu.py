@@ -47,7 +47,7 @@ def decode_hypothesis(seqs, scores, params):
 def decoding(decode_fn, dataset, params):
     """Decode a dataset; returns (translations, scores, indices).
 
-    decode_fn(source_np) -> {'seq': [B, K, T], 'score': [B, K]} (numpy or
+    decode_fn(batch_dict) -> {'seq': [B, K, T], 'score': [B, K]} (numpy or
     device arrays); padded batch rows beyond len(raw) are dropped.
     """
     translations, scores, indices = [], [], []
@@ -63,7 +63,7 @@ def decoding(decode_fn, dataset, params):
         if bidx == 0:
             very_begin = time.time()
         start = time.time()
-        out = decode_fn(data["src"])
+        out = decode_fn(data)
         n_valid = len(data["raw"])
         seqs = np.asarray(out["seq"])[:n_valid]
         marks = np.asarray(out["score"])[:n_valid]
@@ -81,7 +81,7 @@ def decoding(decode_fn, dataset, params):
 def scoring(score_fn, dataset, params):
     """Teacher-forced scoring; returns (index-ordered scores, corpus ppl).
 
-    score_fn(src_np, tgt_np) -> [B] per-sentence mean losses."""
+    score_fn(batch_dict) -> [B] per-sentence mean losses."""
     scores, indices = [], []
     total_entropy = 0.0
     total_tokens = 0.0
@@ -94,7 +94,7 @@ def scoring(score_fn, dataset, params):
 
     for bidx, data in enumerate(queue):
         start = time.time()
-        out = np.asarray(score_fn(data["src"], data["tgt"]))
+        out = np.asarray(score_fn(data))
         n_valid = len(data["raw"])
         out = out[:n_valid]
         tgt = data["tgt"][:n_valid]

@@ -19,3 +19,4 @@ from zero_tpu.models import transformer_l0drop  # noqa: F401
 from zero_tpu.models import rnnsearch  # noqa: F401
 from zero_tpu.models import deepnmt  # noqa: F401
 from zero_tpu.models import rnnsearch_deepatt  # noqa: F401
+from zero_tpu.models import transformer_afs  # noqa: F401

@@ -71,17 +71,17 @@ def _opt_sharding(opt_state, param_sharding_tree, mesh):
 
 
 def stack_microbatches(batches):
-    """Stack update_cycle host batches into [C, B, L] arrays, padding each
-    to the common max shape (reference feeds per-GPU placeholders of
-    independent shapes, main.py:268-294; one stacked scan input replaces
-    them)."""
-    keys = ("source", "target")
+    """Stack update_cycle host feature dicts into [C, B, ...] arrays,
+    padding each to the common per-dimension max (reference feeds per-GPU
+    placeholders of independent shapes, main.py:268-294; one stacked scan
+    input replaces them). Works for any key set / rank (text token
+    matrices, audio feature tensors, masks)."""
     out = {}
-    for k in keys:
-        arrs = [b[k] for b in batches]
-        max_b = max(a.shape[0] for a in arrs)
-        max_l = max(a.shape[1] for a in arrs)
-        padded = [np.pad(a, ((0, max_b - a.shape[0]), (0, max_l - a.shape[1])))
+    for k in batches[0]:
+        arrs = [np.asarray(b[k]) for b in batches]
+        ndim = arrs[0].ndim
+        maxes = [max(a.shape[d] for a in arrs) for d in range(ndim)]
+        padded = [np.pad(a, [(0, maxes[d] - a.shape[d]) for d in range(ndim)])
                   for a in arrs]
         out[k] = np.stack(padded, axis=0)
     return out
@@ -106,7 +106,7 @@ def make_train_step(model, cfg, mesh=None, donate: bool = True):
 
     def step_fn(state: TrainState, batch, lr, rng):
         params = state.params
-        cycles = batch["source"].shape[0]
+        cycles = next(iter(batch.values())).shape[0]
 
         grad_fn = jax.value_and_grad(loss_fn)
 

@@ -61,15 +61,22 @@ def _gather_beams(x, beam_indices, batch, beam_size):
 
 
 def beam_search(params, source, inference, cfg, rng: Optional[jax.Array] = None):
-    """Run beam search over a padded int32 source batch [B, Ls].
+    """Run beam search over a source batch.
 
+    ``source`` is either a padded int32 token batch [B, Ls] (text models)
+    or a dict carrying a 'mask' [B, S] key plus whatever the model's encode
+    consumes (speech models: {'audio', 'mask'}).
     Returns {'seq': [B, K, T_max] int32, 'score': [B, K] f32}.
     """
     beam_size = int(cfg.beam_size)
     alpha = float(cfg.decode_alpha)
     eos_id = cfg.tgt_vocab.eos()
-    batch = source.shape[0]
-    src_len = source.shape[1]
+    if isinstance(source, dict):
+        src_mask = source["mask"].astype(jnp.float32)
+    else:
+        src_mask = (source != 0).astype(jnp.float32)
+    batch = src_mask.shape[0]
+    src_len = src_mask.shape[1]
     t_max = min(int(cfg.decode_max_len), src_len + int(cfg.decode_length))
     dev_mode = cfg.search_mode != "cache"
 
@@ -77,7 +84,6 @@ def beam_search(params, source, inference, cfg, rng: Optional[jax.Array] = None)
     state = inference.encode(params, source)
     state = jax.tree.map(lambda x: _tile_beam(x, beam_size), state)
 
-    src_mask = (source != 0).astype(jnp.float32)
     source_length = jnp.sum(src_mask, -1)                      # [B]
     max_target_length = jnp.minimum(source_length + cfg.decode_length,
                                     t_max).astype(jnp.int32)  # [B]

@@ -45,8 +45,32 @@ def _make_dataset(params, src, tgt, train=True):
                    pad_batch_to=0 if train else params.eval_batch_size)
 
 
+def _is_speech(params) -> bool:
+    return getattr(params, "data_kind", "text") == "speech"
+
+
+def _batch_source(params, batch):
+    """Dataset batch dict -> the model's encode input (text token matrix or
+    the speech {'audio','mask'} dict)."""
+    if "src_mask" in batch:
+        return {"audio": jnp.asarray(batch["src"]),
+                "mask": jnp.asarray(batch["src_mask"])}
+    return jnp.asarray(batch["src"])
+
+
+def _batch_features(params, batch):
+    """Dataset batch dict -> training/scoring feature dict."""
+    if "src_mask" in batch:
+        feats = {"audio": batch["src"], "audio_mask": batch["src_mask"],
+                 "target": batch["tgt"]}
+        if "transcript" in batch:
+            feats["transcript"] = batch["transcript"]
+        return feats
+    return {"source": batch["src"], "target": batch["tgt"]}
+
+
 def make_decode_fn(params, model=None, inference=None):
-    """Jitted beam-search callable over numpy sources."""
+    """Jitted beam-search callable over dataset batch dicts."""
     model = model or get_model(params.model_name)
     inference = inference or model.infer_fn(params)
 
@@ -54,14 +78,14 @@ def make_decode_fn(params, model=None, inference=None):
     def _run(weights, source):
         return beam_search(weights, source, inference, params)
 
-    def decode(weights, source_np):
-        return _run(weights, jnp.asarray(source_np))
+    def decode(weights, batch):
+        return _run(weights, _batch_source(params, batch))
     return decode
 
 
 def _dev_eval(params, decode, weights, dev_dataset, out_prefix: str):
     translations, scores, indices = evalu.decoding(
-        lambda src: decode(weights, src), dev_dataset, params)
+        lambda batch: decode(weights, batch), dev_dataset, params)
     bleu = evalu.eval_metric(translations, params.tgt_dev_file, indices)
     if out_prefix:
         evalu.dump_translation(translations, out_prefix, indices)
@@ -145,8 +169,7 @@ def train(params) -> bool:
             lr = adapt_lr.get_lr()
 
             stacked = stack_microbatches(
-                [{"source": b["src"], "target": b["tgt"]}
-                 for b in micro_group])
+                [_batch_features(params, b) for b in micro_group])
             token_count = int(sum((b["tgt"] > 0).sum() for b in micro_group))
             shapes = [tuple(b["src"].shape) for b in micro_group]
             micro_group = []
@@ -249,8 +272,11 @@ def _sample_decode(params, decode, weights, batch) -> None:
     """Decode a handful of training sentences for human inspection
     (main.py:407-421)."""
     n = min(5, len(batch["raw"]))
+    small = {k: (v[:n] if hasattr(v, "__getitem__")
+                 and not isinstance(v, dict) else v)
+             for k, v in batch.items()}
+    out = decode(weights, small)
     src = batch["src"][:n]
-    out = decode(weights, src)
     seqs = np.asarray(out["seq"])
     for i in range(n):
         src_toks = evalu.decode_target_token(src[i], params.src_vocab)
@@ -288,7 +314,7 @@ def evaluate(params) -> float:
                                  params.tgt_test_file, train=False)
     begin = time.time()
     translations, scores, indices = evalu.decoding(
-        lambda src: decode(weights, src), test_dataset, params)
+        lambda batch: decode(weights, batch), test_dataset, params)
     bleu = evalu.eval_metric(translations, params.tgt_test_file, indices)
     log.info("Translation Performance, BLEU Score: %.4f, using %.3f s",
              bleu, time.time() - begin)
@@ -302,9 +328,10 @@ def scorer(params):
     weights = _restore_eval_params(params, model)
     score_step = make_score_step(model, params)
 
-    def score_fn(src, tgt):
-        return score_step(weights, {"source": jnp.asarray(src),
-                                    "target": jnp.asarray(tgt)})
+    def score_fn(batch):
+        feats = {k: jnp.asarray(v)
+                 for k, v in _batch_features(params, batch).items()}
+        return score_step(weights, feats)
 
     test_dataset = _make_dataset(params, params.src_test_file,
                                  params.tgt_test_file, train=False)
@@ -367,7 +394,7 @@ def ensemble(all_params) -> float:
     test_dataset = _make_dataset(default, default.src_test_file,
                                  default.tgt_test_file, train=False)
     translations, scores, indices = evalu.decoding(
-        lambda src: decode(weights, src), test_dataset, default)
+        lambda batch: decode(weights, batch), test_dataset, default)
     bleu = evalu.eval_metric(translations, default.tgt_test_file, indices)
     log.info("Ensemble Translation Performance, BLEU Score: %.4f", bleu)
     out = default.test_output or os.path.join(default.output_dir, "trans.txt")
