@@ -304,8 +304,11 @@ def default_config() -> Config:
         coarse_label_base=-1,      # CoLaCTC label base; -1 disables
         sinusoid_posenc=True,
         max_frame_len=2048,
-        # fused attention kernels
-        use_flash_attention=True,
+        # fused Pallas attention kernel; off by default: measured on TPU
+        # v5e, XLA's batched attention beats the per-head fused kernel at
+        # MT sequence lengths (<=256); the kernel remains available for
+        # experimentation and long-context extension work
+        use_flash_attention=False,
         flash_block_size=256,
     )
 

@@ -31,8 +31,12 @@ def init_enc_layer(key, cfg, layer):
 
 
 def enc_layer(p, x, src_keep, cfg, rngs):
+    # src_keep is masking_mask(mask) == [B,1,1,S]; recover the [B,S] pad
+    # mask for the fused kernel path
     y = attention.attn_train(p["self"], x, None, src_keep, cfg.num_heads,
-                             rng=rngs(), drop=cfg.attention_dropout)["output"]
+                             rng=rngs(), drop=cfg.attention_dropout,
+                             use_flash=cfg.use_flash_attention,
+                             pad_mask=src_keep[:, 0, 0, :])["output"]
     x = nn.layer_norm(p["ln1"],
                       nn.residual_fn(x, y, rngs(), cfg.residual_dropout))
     y = nn.ffn(p["ffn"], x, rngs(), cfg.relu_dropout)
@@ -60,12 +64,16 @@ def init_dec_layer(key, cfg, layer):
 
 def dec_layer_train(p, x, state, self_keep, mem_keep, cfg, rngs, tgt_mask):
     y = attention.attn_train(p["self"], x, None, self_keep, cfg.num_heads,
-                             rng=rngs(), drop=cfg.attention_dropout)["output"]
+                             rng=rngs(), drop=cfg.attention_dropout,
+                             use_flash=cfg.use_flash_attention,
+                             causal=True)["output"]
     x = nn.layer_norm(p["ln1"],
                       nn.residual_fn(x, y, rngs(), cfg.residual_dropout))
     y = attention.attn_train(p["cross"], x, state["encodes"], mem_keep,
                              cfg.num_heads, rng=rngs(),
-                             drop=cfg.attention_dropout)["output"]
+                             drop=cfg.attention_dropout,
+                             use_flash=cfg.use_flash_attention,
+                             pad_mask=mem_keep[:, 0, 0, :])["output"]
     x = nn.layer_norm(p["ln2"],
                       nn.residual_fn(x, y, rngs(), cfg.residual_dropout))
     y = nn.ffn(p["ffn"], x, rngs(), cfg.relu_dropout)

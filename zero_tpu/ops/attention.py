@@ -33,6 +33,13 @@ from zero_tpu.ops import nn
 from zero_tpu.ops.common import dropout
 
 
+def kernels_supported(lq: int, lk: int) -> bool:
+    """Fused-kernel eligibility (deferred import keeps CPU paths light)."""
+    from zero_tpu.ops.kernels import fused_attention as fa_fn  # noqa: F401
+    from zero_tpu.ops.kernels.fused_attention import supported
+    return supported(lq, lk)
+
+
 # ---------------------------------------------------------------------------
 # init
 # ---------------------------------------------------------------------------
@@ -176,13 +183,18 @@ def gated_rms_norm(params, x, eps: float = 1e-8):
 def attn_train(params, query, memory, keep_mask, num_heads, *,
                rng=None, drop=None, fuse_weight=None,
                rpr_tables=None, max_relative_position=None,
-               relu=False, use_flash=False):
+               relu=False, use_flash=False, causal=False, pad_mask=None):
     """Full-sequence attention.
 
     memory=None -> self-attention via the fused qkv projection.
     keep_mask: [B or 1, 1, Lq, Lk] 1/0; caller combines causal+padding.
     fuse_weight: AAN [B, Lq, Lq] averaging matrix; adds the averaged
     query-side values through the shared 'v' projection (func.py:258-266).
+
+    use_flash + (causal, pad_mask): route the softmax path through the
+    fused Pallas kernel when the semantic mask decomposes into a causal
+    flag + key-side [B, Lk] padding mask and the score matrix fits VMEM;
+    exotic paths (ReLA, RPR, AAN count-softmax) stay on XLA.
     """
     if memory is None:
         h = nn.linear(params["qkv"], query)
@@ -192,13 +204,27 @@ def attn_train(params, query, memory, keep_mask, num_heads, *,
         k = nn.linear(params["k"], memory)
         v = nn.linear(params["v"], memory)
 
-    rpr_ids = None
-    if rpr_tables is not None:
-        rpr_ids = rpr_mod.relative_positions_matrix(
-            q.shape[1], k.shape[1], max_relative_position)
+    flash_ok = (use_flash and not relu and rpr_tables is None
+                and kernels_supported(q.shape[1], k.shape[1]))
+    if flash_ok:
+        from zero_tpu.ops.kernels import fused_attention
+        qh = split_heads(q, num_heads)
+        kh = split_heads(k, num_heads)
+        vh = split_heads(v, num_heads)
+        drop_rate = float(drop) if (drop and rng is not None) else 0.0
+        o = fused_attention(qh, kh, vh, pad_mask, causal=causal,
+                            dropout_rate=drop_rate, rng=rng)
+        o = combine_heads(o.astype(q.dtype))
+        weights = None
+    else:
+        rpr_ids = None
+        if rpr_tables is not None:
+            rpr_ids = rpr_mod.relative_positions_matrix(
+                q.shape[1], k.shape[1], max_relative_position)
 
-    o, weights = _attn_core(q, k, v, keep_mask, num_heads, rng=rng, drop=drop,
-                            rpr_tables=rpr_tables, rpr_ids=rpr_ids, relu=relu)
+        o, weights = _attn_core(q, k, v, keep_mask, num_heads, rng=rng,
+                                drop=drop, rpr_tables=rpr_tables,
+                                rpr_ids=rpr_ids, relu=relu)
 
     if relu and "post" in params:
         o = gated_rms_norm(params["post"], o)

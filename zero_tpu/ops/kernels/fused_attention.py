@@ -1,0 +1,278 @@
+"""Fused multi-head attention Pallas TPU kernel.
+
+Replaces the reference's composite attention graph (qk matmul -> mask add
+-> softmax -> dropout -> pv matmul, func.py:222-254) with one
+VMEM-resident kernel per (batch, head): the [Lq, Lk] score matrix never
+touches HBM. NMT sequence lengths (<=1k BPE tokens) fit whole-sequence
+blocks in VMEM, so no online-softmax streaming is needed; oversized shapes
+fall back to the XLA path at the caller.
+
+Design:
+  * grid (B*H,); every ref is the full per-head slab in VMEM
+  * padding mask [B, Lk] broadcast per head via the index map; causal
+    masking via 2D iota comparison (static flag)
+  * softmax in fp32 with explicit max-subtraction; logsumexp saved as a
+    residual for the backward pass
+  * attention dropout with the in-kernel PRNG: the backward kernel reseeds
+    with the same per-head seed and regenerates the identical mask
+  * custom VJP: backward recomputes probabilities from (q, k, lse) and
+    emits dq, dk, dv in one kernel -- standard softmax-backward algebra,
+    all matmuls on the MXU with fp32 accumulation
+
+Measured status (TPU v5e, 2026-08): forward bit-matches the XLA reference
+and gradients agree to matmul precision, but inside a compiled train step
+XLA's batched attention is FASTER at MT sequence lengths (<=256; tiny
+per-head matmuls under-utilise the MXU and the (B*H,) grid adds launch
+overhead). use_flash_attention therefore defaults to False; the kernel is
+kept as a validated foundation for long-context work (blocked/streaming
+variants) where the L^2 HBM traffic becomes the bottleneck.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+# whole-sequence blocks must keep the score matrix in VMEM; beyond this the
+# caller should use the XLA path (speech-length inputs)
+MAX_SCORE_ELEMS = 2 * 1024 * 1024
+
+
+def _causal_keep(lq: int, lk: int):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 1)
+    return rows >= cols
+
+
+def _dropout_keep(shape, rate: float):
+    bits = pltpu.prng_random_bits(shape)
+    bits = pltpu.bitcast(bits, jnp.uint32)
+    threshold = jnp.uint32(int((1.0 - rate) * 4294967295.0))
+    return bits < threshold
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
+                scale: float, causal: bool, dropout_rate: float):
+    q = q_ref[0].astype(jnp.float32)            # [Lq, Dh]
+    k = k_ref[0].astype(jnp.float32)            # [Lk, Dh]
+    v = v_ref[0].astype(jnp.float32)
+    lq, lk = q.shape[0], k.shape[0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+
+    keep = mask_ref[0, 0, :] > 0                 # [Lk]
+    s = jnp.where(keep[None, :], s, NEG_INF)
+    if causal:
+        s = jnp.where(_causal_keep(lq, lk), s, NEG_INF)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    w = p / l
+    lse_ref[0, 0, :] = (m + jnp.log(l))[:, 0]
+
+    if dropout_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        dmask = _dropout_keep((lq, lk), dropout_rate)
+        w = jnp.where(dmask, w / (1.0 - dropout_rate), 0.0)
+
+    o = jax.lax.dot_general(w, v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, lse_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, *, scale: float, causal: bool,
+                dropout_rate: float):
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0, :][:, None]
+    lq, lk = q.shape[0], k.shape[0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    keep = mask_ref[0, 0, :] > 0
+    s = jnp.where(keep[None, :], s, NEG_INF)
+    if causal:
+        s = jnp.where(_causal_keep(lq, lk), s, NEG_INF)
+    w = jnp.exp(s - lse)                        # softmax weights
+
+    if dropout_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        dmask = _dropout_keep((lq, lk), dropout_rate)
+        inv = 1.0 / (1.0 - dropout_rate)
+        w_d = jnp.where(dmask, w * inv, 0.0)
+    else:
+        w_d = w
+
+    # dv = w_d^T @ do
+    dv = jax.lax.dot_general(w_d, do, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    # dw_d = do @ v^T
+    dw_d = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    if dropout_rate > 0.0:
+        dw = jnp.where(dmask, dw_d * inv, 0.0)
+    else:
+        dw = dw_d
+    # softmax backward: ds = w * (dw - rowsum(dw * w))
+    row = jnp.sum(dw * w, axis=-1, keepdims=True)
+    ds = w * (dw - row)
+
+    dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _specs(batch, heads, lq, lk, dh):
+    # with PrefetchScalarGridSpec, index maps also receive the scalar refs
+    def head_map(i, *_):
+        return (i, 0, 0)
+
+    def mask_map(i, *_):
+        return (i // heads, 0, 0)
+
+    q_spec = pl.BlockSpec((1, lq, dh), head_map, memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, lk, dh), head_map, memory_space=pltpu.VMEM)
+    # mask/lse carried as [_, 1, L] so the trailing-2 block dims equal the
+    # full array dims (TPU lowering constraint)
+    mask_spec = pl.BlockSpec((1, 1, lk), mask_map, memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, 1, lq), head_map, memory_space=pltpu.VMEM)
+    return q_spec, kv_spec, mask_spec, lse_spec
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused_attention(q, k, v, pad_mask, seed, causal, dropout_rate):
+    o, _ = _fused_forward(q, k, v, pad_mask, causal, dropout_rate, seed)
+    return o
+
+
+def _fused_forward(q, k, v, pad_mask, causal, dropout_rate, seed):
+    b, h, lq, dh = q.shape
+    lk = k.shape[2]
+    scale = dh ** -0.5
+    bh = b * h
+
+    q3 = q.reshape(bh, lq, dh)
+    k3 = k.reshape(bh, lk, dh)
+    v3 = v.reshape(bh, lk, dh)
+
+    q_spec, kv_spec, mask_spec, lse_spec = _specs(b, h, lq, lk, dh)
+    kernel = functools.partial(_fwd_kernel, scale=scale, causal=causal,
+                               dropout_rate=dropout_rate)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh,),
+        in_specs=[q_spec, kv_spec, kv_spec, mask_spec],
+        out_specs=[q_spec, lse_spec],
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((bh, lq, dh), q.dtype),
+                   jax.ShapeDtypeStruct((bh, 1, lq), jnp.float32)],
+    )(seed, q3, k3, v3, pad_mask[:, None, :])
+    return o.reshape(b, h, lq, dh), lse
+
+
+def _fused_fwd_rule(q, k, v, pad_mask, seed, causal, dropout_rate):
+    o, lse = _fused_forward(q, k, v, pad_mask, causal, dropout_rate, seed)
+    return o, (q, k, v, pad_mask, lse, seed)
+
+
+def _fused_bwd_rule(causal, dropout_rate, residuals, g):
+    q, k, v, pad_mask, lse, seed = residuals
+    b, h, lq, dh = q.shape
+    lk = k.shape[2]
+    scale = dh ** -0.5
+    bh = b * h
+
+    q3 = q.reshape(bh, lq, dh)
+    k3 = k.reshape(bh, lk, dh)
+    v3 = v.reshape(bh, lk, dh)
+    do3 = g.reshape(bh, lq, dh)
+
+    q_spec, kv_spec, mask_spec, lse_spec = _specs(b, h, lq, lk, dh)
+    kernel = functools.partial(_bwd_kernel, scale=scale, causal=causal,
+                               dropout_rate=dropout_rate)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh,),
+        in_specs=[q_spec, kv_spec, kv_spec, mask_spec, lse_spec, q_spec],
+        out_specs=[q_spec, kv_spec, kv_spec],
+    )
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((bh, lq, dh), q.dtype),
+                   jax.ShapeDtypeStruct((bh, lk, dh), k.dtype),
+                   jax.ShapeDtypeStruct((bh, lk, dh), v.dtype)],
+    )(seed, q3, k3, v3, pad_mask[:, None, :], lse, do3)
+    return (dq.reshape(b, h, lq, dh), dk.reshape(b, h, lk, dh),
+            dv.reshape(b, h, lk, dh), jnp.zeros_like(pad_mask), None)
+
+
+_fused_attention.defvjp(_fused_fwd_rule, _fused_bwd_rule)
+
+
+def supported(lq: int, lk: int) -> bool:
+    """Whole-sequence blocks must fit VMEM; longer inputs use XLA."""
+    return lq * lk <= MAX_SCORE_ELEMS
+
+
+def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    pad_mask: Optional[jax.Array] = None, *,
+                    causal: bool = False, dropout_rate: float = 0.0,
+                    rng: Optional[jax.Array] = None) -> jax.Array:
+    """Fused attention over [B, H, L, Dh] projections.
+
+    pad_mask: [B, Lk] 1/0 key-side padding mask (None = all valid).
+    Scaling by Dh^-0.5 happens in-kernel. Returns [B, H, Lq, Dh] in the
+    query dtype.
+    """
+    b, _, lq, dh = q.shape
+    lk = k.shape[2]
+    if pad_mask is None:
+        pad_mask = jnp.ones((b, lk), jnp.float32)
+    pad_mask = pad_mask.astype(jnp.float32)
+    if dropout_rate > 0.0 and rng is not None:
+        seed = jax.random.randint(rng, (1,), 0, 2 ** 31 - 1, jnp.int32)
+    else:
+        dropout_rate = 0.0
+        seed = jnp.zeros((1,), jnp.int32)
+    if jax.default_backend() != "tpu" or not supported(lq, lk):
+        # CPU/GPU or VMEM-oversized shapes: mathematically-equivalent XLA
+        # path (dropout stream differs; both are valid inverted dropout)
+        return _xla_equivalent(q, k, v, pad_mask, causal, dropout_rate, rng)
+    return _fused_attention(q, k, v, pad_mask, seed, causal,
+                            float(dropout_rate))
+
+
+def _xla_equivalent(q, k, v, pad_mask, causal, dropout_rate, rng):
+    dh = q.shape[-1]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * dh ** -0.5
+    s = jnp.where(pad_mask[:, None, None, :] > 0, s, NEG_INF)
+    if causal:
+        lq, lk = q.shape[2], k.shape[2]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 1)
+        s = jnp.where((rows >= cols)[None, None], s, NEG_INF)
+    w = jax.nn.softmax(s, axis=-1)
+    if dropout_rate > 0.0 and rng is not None:
+        keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, w.shape)
+        w = jnp.where(keep, w / (1.0 - dropout_rate), 0.0)
+    return jnp.einsum("bhqk,bhkd->bhqd", w.astype(q.dtype), v)
