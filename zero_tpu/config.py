@@ -267,6 +267,12 @@ def default_config() -> Config:
         data_leak_ratio=0.5,
         deep_transformer_init=False,
 
+        # -- observability (rebuild extension; SURVEY §5: the reference
+        # has no tracing -- only wall-clock step logs)
+        profiler_dir="",          # write a jax.profiler trace here
+        profiler_start_step=10,   # trace window [start, stop)
+        profiler_stop_step=15,
+
         # -- train loop frequencies (run.py:207-219)
         disp_freq=100,
         eval_freq=10000,

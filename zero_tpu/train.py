@@ -176,10 +176,19 @@ def train(params) -> bool:
             device_batch = jax.device_put(
                 stacked, batch_sharding(stacked, mesh, batch_axis=1))
 
+            if params.profiler_dir and step == params.profiler_start_step:
+                jax.profiler.start_trace(params.profiler_dir)
+                log.info("profiler trace started -> %s", params.profiler_dir)
+
             start_time = time.time()
             state, metrics = step_fn(state, device_batch, lr,
                                      jax.random.fold_in(data_rng, step))
             step = int(state.step)
+
+            if params.profiler_dir and step == params.profiler_stop_step:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                log.info("profiler trace stopped")
 
             if step % params.disp_freq == 0:
                 loss = float(metrics["loss"])
@@ -192,9 +201,11 @@ def train(params) -> bool:
                     recorder.estop = True
                     break
                 log.info("%d/%d, loss %.3f, gnorm %.2f, pnorm %.2f, "
-                         "lr %.6f, batch %s, tokens %d, UD %.3f s",
+                         "lr %.6f, batch %s, tokens %d, UD %.3f s, "
+                         "%.0f tokens/s",
                          epoch, step, loss, gnorm, pnorm, lr,
-                         shapes, token_count, duration)
+                         shapes, token_count, duration,
+                         token_count / max(duration, 1e-6))
 
             recorder.step = step
             recorder.lidx = lidx
