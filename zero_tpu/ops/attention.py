@@ -268,7 +268,10 @@ def self_attn_step(params, x_t, cache, time, num_heads, *,
                                      (0, time, 0))
     t_max = k.shape[1]
     pos = jnp.arange(t_max)
-    keep = (pos <= time).astype(jnp.float32)[None, None, None, :]
+    # multi-position steps (x_t length > 1, e.g. IBDecoder pairs) may
+    # attend across all freshly-written slots
+    keep = (pos <= time + (x_t.shape[1] - 1)) \
+        .astype(jnp.float32)[None, None, None, :]
 
     rpr_ids = None
     if rpr_tables is not None:

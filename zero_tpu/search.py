@@ -201,6 +201,177 @@ def beam_search(params, source, inference, cfg, rng: Optional[jax.Array] = None)
     return {"seq": seqs[:, :, 1:], "score": scores}
 
 
+class IBBeamState(NamedTuple):
+    pair: jax.Array            # current pair index
+    alive_seq: jax.Array       # [B, K, Z] interleaved tokens
+    alive_log_probs: jax.Array
+    alive_scores: jax.Array
+    done_l: jax.Array          # [B, K] bool: l2r stream emitted eos
+    done_r: jax.Array
+    cache: dict
+    fin_seq: jax.Array
+    fin_scores: jax.Array
+    fin_flags: jax.Array
+
+
+def ib_beam_search(params, source, inference, cfg,
+                   rng: Optional[jax.Array] = None):
+    """Pair beam search for the interleaved bidirectional decoder.
+
+    Each step expands TWO factorized token distributions (one per
+    direction); candidate pairs are scored additively from the top-c of
+    each stream (c = 2*beam). A stream that has emitted eos is pinned to
+    <pad> at log-prob 0; a hypothesis is finished when both streams are
+    done. Effective length for the GNMT penalty is the number of emitted
+    pair slots, 2*(pair+1).
+    Returns {'seq': [B, K, Z] interleaved (unfold on the host), 'score'}.
+    """
+    beam_size = int(cfg.beam_size)
+    alpha = float(cfg.decode_alpha)
+    eos_id = cfg.tgt_vocab.eos()
+    src_mask = (source != 0).astype(jnp.float32)
+    batch, src_len = src_mask.shape
+    t_max = min(int(cfg.decode_max_len), src_len + int(cfg.decode_length))
+    max_pairs = t_max // 2 + 1
+    z_max = 2 * max_pairs
+
+    state = inference.encode(params, source)
+    state = jax.tree.map(lambda x: _tile_beam(x, beam_size), state)
+    source_length = jnp.sum(src_mask, -1)
+    max_target_length = jnp.minimum(source_length + cfg.decode_length,
+                                    t_max).astype(jnp.int32)
+
+    cache = inference.init_cache(params, state, batch * beam_size, z_max)
+    init_log_probs = jnp.tile(
+        jnp.asarray([[0.0] + [F32_MIN] * (beam_size - 1)], jnp.float32),
+        [batch, 1])
+    bs = IBBeamState(
+        pair=jnp.asarray(0, jnp.int32),
+        alive_seq=jnp.zeros((batch, beam_size, z_max), jnp.int32),
+        alive_log_probs=init_log_probs,
+        alive_scores=jnp.zeros_like(init_log_probs),
+        done_l=jnp.zeros((batch, beam_size), bool),
+        done_r=jnp.zeros((batch, beam_size), bool),
+        cache=cache,
+        fin_seq=jnp.zeros((batch, beam_size, z_max), jnp.int32),
+        fin_scores=jnp.full((batch, beam_size), F32_MIN, jnp.float32),
+        fin_flags=jnp.zeros((batch, beam_size), bool),
+    )
+
+    def not_finished(bs: IBBeamState):
+        max_penalty = jnp.power(
+            (5.0 + max_target_length.astype(jnp.float32)) / 6.0, alpha)
+        best_alive = bs.alive_log_probs[:, 0] / max_penalty
+        worst_finish = jnp.min(
+            bs.fin_scores * bs.fin_flags.astype(jnp.float32), axis=1)
+        worst_finish += (1.0 - jnp.any(bs.fin_flags, 1).astype(jnp.float32)) \
+            * F32_MIN
+        bound_is_met = jnp.all(worst_finish > best_alive)
+        length_is_met = jnp.any(2 * bs.pair < max_target_length)
+        return jnp.logical_and(jnp.logical_not(bound_is_met), length_is_met)
+
+    def step(bs: IBBeamState):
+        i = bs.pair
+        prev_pair = jax.lax.dynamic_slice(
+            bs.alive_seq, (0, 0, jnp.maximum(2 * i - 2, 0)),
+            (batch, beam_size, 2)).reshape(batch * beam_size, 2)
+        logits2, new_cache = inference.decode_pair(params, prev_pair, state,
+                                                   bs.cache, i)
+        logits2 = logits2.astype(jnp.float32)
+        if cfg.enable_noise_beam_search and rng is not None:
+            logits2 += gumbel_noise(jax.random.fold_in(rng, i), logits2.shape)
+        logits2 = logits2 / cfg.beam_search_temperature
+        vocab = logits2.shape[-1]
+        lp = log_prob_from_logits(logits2).reshape(batch, beam_size, 2,
+                                                   vocab)
+        lp_l, lp_r = lp[:, :, 0], lp[:, :, 1]
+
+        # first pair: l2r stream must emit a real token
+        eos_block = (jnp.arange(vocab) == eos_id).astype(jnp.float32) \
+            * F32_MIN
+        lp_l = jnp.where(i < 1, lp_l + eos_block[None, None], lp_l)
+
+        # done streams are pinned to <pad> with log-prob 0
+        pad_onehot = jnp.where(jnp.arange(vocab) == 0, 0.0, F32_MIN)
+        lp_l = jnp.where(bs.done_l[:, :, None], pad_onehot[None, None], lp_l)
+        lp_r = jnp.where(bs.done_r[:, :, None], pad_onehot[None, None], lp_r)
+
+        # factorized pair expansion: top-c of each stream, additive grid
+        c = 2 * beam_size
+        top_l, idx_l = jax.lax.top_k(lp_l, c)     # [B, K, c]
+        top_r, idx_r = jax.lax.top_k(lp_r, c)
+        grid = top_l[:, :, :, None] + top_r[:, :, None, :]   # [B, K, c, c]
+        pair_lp, grid_idx = jax.lax.top_k(
+            grid.reshape(batch, beam_size, c * c), c)        # [B, K, c]
+        tok_l = jnp.take_along_axis(idx_l, grid_idx // c, axis=2)
+        tok_r = jnp.take_along_axis(idx_r, grid_idx % c, axis=2)
+
+        curr_log_probs = bs.alive_log_probs[:, :, None] + pair_lp
+        gen_len = (2.0 * (i + 1).astype(jnp.float32))
+        penalty = jnp.power((5.0 + gen_len) / 6.0, alpha)
+        curr_scores = curr_log_probs / penalty
+
+        flat = curr_scores.reshape(batch, beam_size * c)
+        topk_scores, topk_idx = jax.lax.top_k(flat, 2 * beam_size)
+        beam_idx = (topk_idx // c).astype(jnp.int32)
+        cand_idx = (topk_idx % c).astype(jnp.int32)
+
+        def gather_bc(x):
+            y = jnp.take_along_axis(x, beam_idx[:, :, None], axis=1)
+            return jnp.take_along_axis(y, cand_idx[:, :, None], axis=2)[..., 0]
+
+        sym_l = gather_bc(tok_l)
+        sym_r = gather_bc(tok_r)
+
+        curr_seq = jnp.take_along_axis(bs.alive_seq, beam_idx[:, :, None],
+                                       axis=1)
+        pair_tok = jnp.stack([sym_l, sym_r], axis=-1)        # [B, 2K, 2]
+        curr_seq = jax.lax.dynamic_update_slice(
+            curr_seq, pair_tok, (0, 0, 2 * i))
+
+        prev_done_l = jnp.take_along_axis(bs.done_l, beam_idx, axis=1)
+        prev_done_r = jnp.take_along_axis(bs.done_r, beam_idx, axis=1)
+        new_done_l = jnp.logical_or(prev_done_l, sym_l == eos_id)
+        new_done_r = jnp.logical_or(prev_done_r, sym_r == eos_id)
+        curr_fin = jnp.logical_or(
+            jnp.logical_and(new_done_l, new_done_r),
+            (2 * i >= max_target_length)[:, None])
+
+        alive_cand = topk_scores + curr_fin.astype(jnp.float32) * F32_MIN
+        alive_scores, alive_idx = jax.lax.top_k(alive_cand, beam_size)
+        alive_seq = jnp.take_along_axis(curr_seq, alive_idx[:, :, None],
+                                        axis=1)
+        alive_beam = jnp.take_along_axis(beam_idx, alive_idx, axis=1)
+        alive_log_probs = alive_scores * penalty
+        alive_cache = jax.tree.map(
+            lambda x: _gather_beams(x, alive_beam, batch, beam_size),
+            new_cache)
+        alive_done_l = jnp.take_along_axis(new_done_l, alive_idx, axis=1)
+        alive_done_r = jnp.take_along_axis(new_done_r, alive_idx, axis=1)
+
+        curr_fin_scores = topk_scores + \
+            (1.0 - curr_fin.astype(jnp.float32)) * F32_MIN
+        fin_flags = jnp.concatenate([bs.fin_flags, curr_fin], axis=1)
+        fin_scores = jnp.concatenate([bs.fin_scores, curr_fin_scores], axis=1)
+        fin_pool = jnp.concatenate([bs.fin_seq, curr_seq], axis=1)
+        fin_scores, fin_idx = jax.lax.top_k(fin_scores, beam_size)
+        fin_flags = jnp.take_along_axis(fin_flags, fin_idx, axis=1)
+        fin_seq = jnp.take_along_axis(fin_pool, fin_idx[:, :, None], axis=1)
+
+        return IBBeamState(pair=i + 1, alive_seq=alive_seq,
+                           alive_log_probs=alive_log_probs,
+                           alive_scores=alive_scores, done_l=alive_done_l,
+                           done_r=alive_done_r, cache=alive_cache,
+                           fin_seq=fin_seq, fin_scores=fin_scores,
+                           fin_flags=fin_flags)
+
+    final = jax.lax.while_loop(not_finished, step, bs)
+    never = jnp.logical_not(jnp.any(final.fin_flags, axis=1))
+    seqs = jnp.where(never[:, None, None], final.alive_seq, final.fin_seq)
+    scores = jnp.where(never[:, None], final.alive_scores, final.fin_scores)
+    return {"seq": seqs, "score": scores}
+
+
 def make_beam_search_fn(inference, cfg):
     """A jitted beam-search callable (params, source, rng) -> outputs.
 

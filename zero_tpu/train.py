@@ -74,6 +74,26 @@ def make_decode_fn(params, model=None, inference=None):
     model = model or get_model(params.model_name)
     inference = inference or model.infer_fn(params)
 
+    if params.model_name == "transformer_ibdecoder":
+        from zero_tpu.models.transformer_ibdecoder import unfold
+        from zero_tpu.search import ib_beam_search
+
+        @jax.jit
+        def _run_ib(weights, source):
+            return ib_beam_search(weights, source, inference, params)
+
+        def decode_ib(weights, batch):
+            out = _run_ib(weights, _batch_source(params, batch))
+            z = np.asarray(out["seq"])
+            b, k, z_len = z.shape
+            y = np.zeros((b, k, z_len), np.int32)
+            for bi in range(b):
+                for ki in range(k):
+                    toks = unfold(z[bi, ki], params.tgt_vocab.eos())
+                    y[bi, ki, :len(toks)] = toks
+            return {"seq": y, "score": np.asarray(out["score"])}
+        return decode_ib
+
     @jax.jit
     def _run(weights, source):
         return beam_search(weights, source, inference, params)
