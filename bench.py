@@ -56,18 +56,22 @@ def main():
 
     rng = jax.random.PRNGKey(1)
 
-    # warmup / compile
+    # warmup / compile; a scalar fetch forces the chain (the axon tunnel's
+    # block_until_ready semantics are unreliable, and per-step fetches
+    # would measure the ~0.3s tunnel RTT instead of compute)
     for i in range(3):
         state, metrics = step_fn(state, device_batch, 1e-4,
                                  jax.random.fold_in(rng, i))
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["pnorm"])
 
     n_steps = 30
     start = time.perf_counter()
     for i in range(n_steps):
         state, metrics = step_fn(state, device_batch, 1e-4,
                                  jax.random.fold_in(rng, 100 + i))
-    jax.block_until_ready(metrics["loss"])
+    # pnorm depends on every updated parameter of the final step: fetching
+    # it forces the full n_steps execution chain
+    float(metrics["pnorm"])
     elapsed = time.perf_counter() - start
 
     tokens_per_sec = tokens_per_step * n_steps / elapsed
