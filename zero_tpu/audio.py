@@ -128,7 +128,8 @@ class SpeechDataset:
                  batch_or_token: str = "token", data_leak_ratio: float = 0.5,
                  num_mels: int = 80, pad_seq_multiple: int = 1,
                  pad_batch_multiple: int = 1, pad_batch_to: int = 0,
-                 coarse_label_base: int = -1):
+                 coarse_label_base: int = -1, context: bool = False,
+                 context_max_frame_len: int = 1024):
         self.manifest = manifest
         self.src_vocab = src_vocab
         self.tgt_vocab = tgt_vocab
@@ -141,10 +142,15 @@ class SpeechDataset:
         self.pad_batch_multiple = pad_batch_multiple
         self.pad_batch_to = pad_batch_to
         self.coarse_label_base = coarse_label_base
+        # context-aware ST: attach the previous manifest segment's features
+        # (manifest order = document order; docs/context_aware_st)
+        self.context = context
+        self.context_max_frame_len = context_max_frame_len
         self.leak_buffer: List = []
 
     def load_data(self) -> Iterator[Tuple[np.ndarray, List[int], List[int]]]:
         base = os.path.dirname(os.path.abspath(self.manifest))
+        prev_feats = None
         with open(self.manifest) as reader:
             for line in reader:
                 line = line.strip()
@@ -164,7 +170,15 @@ class SpeechDataset:
                     asr_ids = coarse_labels(asr_ids, self.coarse_label_base)
                 tgt_ids = self.tgt_vocab.to_id(
                     translation.split()[:self.max_len])
-                yield feats, asr_ids, tgt_ids
+                if self.context:
+                    # most recent frames of the previous segment
+                    ctx = prev_feats[-self.context_max_frame_len:] \
+                        if prev_feats is not None \
+                        else np.zeros((1, self.num_mels), np.float32)
+                    prev_feats = feats
+                    yield feats, asr_ids, tgt_ids, ctx
+                else:
+                    yield feats, asr_ids, tgt_ids
 
     def to_matrix(self, batch):
         batch_size = len(batch)
@@ -181,15 +195,28 @@ class SpeechDataset:
         mask = np.zeros([padded_bs, frame_len], np.float32)
         asr = np.zeros([padded_bs, asr_len], np.int32)
         tgt = np.zeros([padded_bs, tgt_len], np.int32)
+        ctx = ctx_mask = None
+        if self.context:
+            ctx_len = round_up(max(s[4].shape[0] for s in batch),
+                               self.pad_seq_multiple)
+            ctx = np.zeros([padded_bs, ctx_len, self.num_mels], np.float32)
+            ctx_mask = np.zeros([padded_bs, ctx_len], np.float32)
         indices = []
-        for eidx, (idx, feats, asr_ids, tgt_ids) in enumerate(batch):
+        for eidx, sample in enumerate(batch):
+            idx, feats, asr_ids, tgt_ids = sample[:4]
             indices.append(idx)
             t = feats.shape[0]
             audio[eidx, :t] = feats
             mask[eidx, :t] = 1.0
             asr[eidx, :len(asr_ids)] = asr_ids
             tgt[eidx, :len(tgt_ids)] = tgt_ids
-        return indices, audio, mask, asr, tgt
+            if self.context:
+                tc = sample[4].shape[0]
+                ctx[eidx, :tc] = sample[4]
+                # all-zero context (first segment) keeps an all-zero mask
+                if np.abs(sample[4]).sum() > 0:
+                    ctx_mask[eidx, :tc] = 1.0
+        return indices, audio, mask, asr, tgt, ctx, ctx_mask
 
     def batcher(self, size, buffer_size: int = 128, shuffle: bool = True,
                 train: bool = True) -> Iterator[dict]:
@@ -206,14 +233,19 @@ class SpeechDataset:
                 np.random.shuffle(order)
             for oidx in order:
                 batch = [sorted_buf[i] for i in index_groups[oidx]]
-                idx, audio, mask, asr, tgt = self.to_matrix(batch)
-                yield {"src": audio, "src_mask": mask, "transcript": asr,
+                idx, audio, mask, asr, tgt, ctx, ctx_mask = \
+                    self.to_matrix(batch)
+                out = {"src": audio, "src_mask": mask, "transcript": asr,
                        "tgt": tgt, "index": idx, "raw": batch}
+                if ctx is not None:
+                    out["context"] = ctx
+                    out["context_mask"] = ctx_mask
+                yield out
 
         buf = self.leak_buffer
         self.leak_buffer = []
-        for i, (feats, asr_ids, tgt_ids) in enumerate(self.load_data()):
-            buf.append((i, feats, asr_ids, tgt_ids))
+        for i, sample in enumerate(self.load_data()):
+            buf.append((i,) + tuple(sample))
             if len(buf) >= buffer_size:
                 for data in _handle_buffer(buf):
                     n = len(data["raw"])

@@ -304,6 +304,10 @@ def default_config() -> Config:
         afs_l0_scalar=0.5,
         afs_mode="tf",             # 't' temporal only | 'tf' temporal+feature
         num_st_encoder_layer=6,
+        # context-aware ST (docs/context_aware_st: simple concatenation of
+        # the previous segment's AFS-reduced features)
+        st_context=False,
+        context_max_frame_len=1024,
         ctc_alpha=0.3,
         ctc_repeated=False,
         ctc_enable=False,

@@ -170,11 +170,23 @@ def _cast(params, dtype):
         else a, params)
 
 
-def _encode(params, audio, mask, cfg, rngs, training):
+def _encode(params, audio, mask, cfg, rngs, training,
+            context=None, context_mask=None):
     x, mask = _frontend(params, audio, mask, cfg, rngs, training)
     asr_out = _asr_encode(params, x, mask, cfg, rngs)
     gated, st_mask, penalty = _afs_gate(params, asr_out, mask, cfg, rngs,
                                         training)
+    if cfg.st_context and context is not None:
+        # context-aware ST (docs/context_aware_st): run the previous
+        # segment through the shared frontend/ASR/AFS stack and prepend
+        # its reduced features; no CTC/penalty contribution from context
+        cx, cmask = _frontend(params, context, context_mask, cfg, rngs,
+                              training)
+        c_asr = _asr_encode(params, cx, cmask, cfg, rngs)
+        c_gated, c_st_mask, _ = _afs_gate(params, c_asr, cmask, cfg, rngs,
+                                          training)
+        gated = jnp.concatenate([c_gated, gated], axis=1)
+        st_mask = jnp.concatenate([c_st_mask, st_mask], axis=1)
     encodes = _st_encode(params, gated, st_mask, cfg, rngs)
     return {"encodes": encodes, "mask": st_mask, "asr_out": asr_out,
             "asr_mask": mask, "afs_penalty": penalty}
@@ -215,7 +227,9 @@ def train_fn(params, features, cfg, rng, step=0):
     params = _cast(params, _compute_dtype(cfg))
     rngs = RngGen(rng)
     state = _encode(params, features["audio"],
-                    features["audio_mask"], cfg, rngs, True)
+                    features["audio_mask"], cfg, rngs, True,
+                    context=features.get("context"),
+                    context_mask=features.get("context_mask"))
     logits, dmask = _decode_train(params, features["target"], state, cfg,
                                   rngs, True)
     loss, _ = label_smooth_loss(logits, features["target"], dmask,
@@ -235,7 +249,8 @@ def score_fn(params, features, cfg):
     params = _cast(params, _compute_dtype(cfg))
     rngs = RngGen(None)
     state = _encode(params, features["audio"], features["audio_mask"], cfg,
-                    rngs, False)
+                    rngs, False, context=features.get("context"),
+                    context_mask=features.get("context_mask"))
     logits, dmask = _decode_train(params, features["target"], state, cfg,
                                   rngs, False)
     _, per_sample = label_smooth_loss(logits, features["target"], dmask, 0.0)
@@ -247,7 +262,8 @@ def infer_fn(cfg):
         params = _cast(params, _compute_dtype(cfg))
         rngs = RngGen(None)
         state = _encode(params, source["audio"], source["mask"], cfg, rngs,
-                        False)
+                        False, context=source.get("context"),
+                        context_mask=source.get("context_mask"))
         state.pop("asr_out")
         state.pop("asr_mask")
         state.pop("afs_penalty")  # 0-d scalar; not beam-tileable

@@ -99,10 +99,17 @@ def param_sharding(params, mesh: Mesh):
 
 
 def batch_sharding(batch, mesh: Mesh, batch_axis: int = 0):
-    """Shard the batch dimension over the 'data' mesh axis."""
+    """Shard the batch dimension over the 'data' mesh axis.
+
+    Leaves whose batch dim is not divisible by the data-parallel degree
+    are replicated instead (the driver pads batches so this is only a
+    safety net for ad-hoc callers)."""
+    data_par = int(mesh.shape.get("data", 1))
+
     def mk(leaf):
         spec = [None] * leaf.ndim
-        spec[batch_axis] = "data"
+        if leaf.ndim > batch_axis and leaf.shape[batch_axis] % data_par == 0:
+            spec[batch_axis] = "data"
         return NamedSharding(mesh, P(*spec))
     return jax.tree.map(mk, batch)
 

@@ -33,28 +33,58 @@ from zero_tpu.search import beam_search
 log = logging.getLogger("zero_tpu.train")
 
 
-def _make_dataset(params, src, tgt, train=True):
+def _is_speech(params) -> bool:
+    return getattr(params, "data_kind", "text") == "speech"
+
+
+def _lcm(a: int, b: int) -> int:
+    import math
+    return a * b // math.gcd(max(a, 1), max(b, 1))
+
+
+def _make_dataset(params, src, tgt, train=True, data_par: int = 1):
+    # the batch dim is sharded over the mesh 'data' axis: pad every batch
+    # to a multiple of the data-parallel degree
+    bmult = _lcm(params.pad_batch_multiple, data_par) if train else 1
+    eval_rows = _lcm(params.eval_batch_size, data_par)
+    if _is_speech(params):
+        from zero_tpu.audio import SpeechDataset
+        # src is the TSV manifest (features \t transcript \t translation);
+        # tgt_*_file still names the reference translations for BLEU
+        return SpeechDataset(
+            src, params.src_vocab, params.tgt_vocab,
+            max_len=params.max_len if train else params.eval_max_len,
+            max_frame_len=params.max_frame_len,
+            batch_or_token=params.batch_or_token if train else "batch",
+            data_leak_ratio=params.data_leak_ratio,
+            num_mels=params.audio_num_mel_bins,
+            pad_seq_multiple=params.pad_seq_multiple,
+            pad_batch_multiple=bmult,
+            pad_batch_to=0 if train else eval_rows,
+            coarse_label_base=params.coarse_label_base,
+            context=params.st_context,
+            context_max_frame_len=params.context_max_frame_len)
     return Dataset(src, tgt, params.src_vocab, params.tgt_vocab,
                    max_len=params.max_len if train else params.eval_max_len,
                    batch_or_token=params.batch_or_token if train else "batch",
                    data_leak_ratio=params.data_leak_ratio,
                    pad_seq_multiple=params.pad_seq_multiple,
-                   pad_batch_multiple=params.pad_batch_multiple if train else 1,
+                   pad_batch_multiple=bmult,
                    # eval batches all share one batch shape so the jitted
                    # beam search compiles once per sequence bucket
-                   pad_batch_to=0 if train else params.eval_batch_size)
-
-
-def _is_speech(params) -> bool:
-    return getattr(params, "data_kind", "text") == "speech"
+                   pad_batch_to=0 if train else eval_rows)
 
 
 def _batch_source(params, batch):
     """Dataset batch dict -> the model's encode input (text token matrix or
     the speech {'audio','mask'} dict)."""
     if "src_mask" in batch:
-        return {"audio": jnp.asarray(batch["src"]),
-                "mask": jnp.asarray(batch["src_mask"])}
+        src = {"audio": jnp.asarray(batch["src"]),
+               "mask": jnp.asarray(batch["src_mask"])}
+        if "context" in batch:
+            src["context"] = jnp.asarray(batch["context"])
+            src["context_mask"] = jnp.asarray(batch["context_mask"])
+        return src
     return jnp.asarray(batch["src"])
 
 
@@ -65,6 +95,9 @@ def _batch_features(params, batch):
                  "target": batch["tgt"]}
         if "transcript" in batch:
             feats["transcript"] = batch["transcript"]
+        if "context" in batch:
+            feats["context"] = batch["context"]
+            feats["context_mask"] = batch["context_mask"]
         return feats
     return {"source": batch["src"], "target": batch["tgt"]}
 
@@ -116,9 +149,11 @@ def train(params) -> bool:
     model = get_model(params.model_name)
     mesh = make_mesh(params)
     log.info("Mesh: %s", mesh)
+    data_par = int(mesh.shape["data"])
 
     train_dataset = _make_dataset(params, params.src_train_file,
-                                  params.tgt_train_file, train=True)
+                                  params.tgt_train_file, train=True,
+                                  data_par=data_par)
     dev_dataset = _make_dataset(params, params.src_dev_file,
                                 params.tgt_dev_file, train=False)
 
