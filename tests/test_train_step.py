@@ -123,3 +123,43 @@ def test_stack_microbatches_pads():
     assert out["source"].shape == (2, 3, 7)
     assert out["target"].shape == (2, 3, 6)
     assert (out["source"][0, 2] == 0).all()  # padded row
+
+
+def test_remat_matches_no_remat():
+    """use_remat must not change the loss or gradients (dropout off)."""
+    import zero_tpu.models  # noqa
+    from zero_tpu.models.base import get_model
+    over = dict(dropout=0.0, residual_dropout=0.0, relu_dropout=0.0,
+                attention_dropout=0.0)
+    cfg_a = tiny_config(model_name="transformer", use_remat=False, **over)
+    cfg_b = tiny_config(model_name="transformer", use_remat=True, **over)
+    model = get_model("transformer")
+    params = model.init_fn(jax.random.PRNGKey(0), cfg_a)
+    feats = {k: jnp.asarray(v) for k, v in _batch()["source"].shape and
+             {"source": _batch()["source"][0], "target": _batch()["target"][0]}.items()}
+
+    def loss(cfg):
+        def f(p):
+            return model.train_fn(p, feats, cfg, jax.random.PRNGKey(3))["loss"]
+        return f
+
+    la, ga = jax.value_and_grad(loss(cfg_a))(params)
+    lb, gb = jax.value_and_grad(loss(cfg_b))(params)
+    assert abs(float(la) - float(lb)) < 1e-6
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_remat_with_dropout_runs():
+    import zero_tpu.models  # noqa
+    from zero_tpu.models.base import get_model
+    cfg = tiny_config(model_name="transformer", use_remat=True)
+    model = get_model("transformer")
+    params = model.init_fn(jax.random.PRNGKey(0), cfg)
+    feats = {"source": jnp.asarray(_batch()["source"][0]),
+             "target": jnp.asarray(_batch()["target"][0])}
+    g = jax.grad(lambda p: model.train_fn(p, feats, cfg,
+                                          jax.random.PRNGKey(3))["loss"])(params)
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()

@@ -267,6 +267,10 @@ def default_config() -> Config:
         data_leak_ratio=0.5,
         deep_transformer_init=False,
 
+        # rematerialisation: recompute transformer layers in the backward
+        # pass (jax.checkpoint) to fit deep/large models in HBM
+        use_remat=False,
+
         # -- observability (rebuild extension; SURVEY §5: the reference
         # has no tracing -- only wall-clock step logs)
         profiler_dir="",          # write a jax.profiler trace here

@@ -24,6 +24,7 @@ Semantics preserved from the reference base model (models/transformer.py):
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax
@@ -169,6 +170,30 @@ def make_transformer(hooks: LayerHooks, zero_softmax: bool = False,
             params.update(extra_init(jax.random.fold_in(rng, 300), cfg))
         return params
 
+    # remat: recompute each layer in the backward pass (use_remat). Dropout
+    # keys are pre-drawn OUTSIDE the checkpointed fn and passed explicitly,
+    # so the remat re-trace consumes identical keys (a closure-held RngGen
+    # would advance again and desynchronise the dropout masks).
+    _REMAT_KEYS = 10  # upper bound on dropout sites per layer
+
+    def _draw_keys(rngs):
+        return [rngs() for _ in range(_REMAT_KEYS)]
+
+    def _use_remat(cfg, training):
+        return bool(getattr(cfg, "use_remat", False)) and training
+
+    @functools.partial(jax.checkpoint, static_argnums=(4,))
+    def _enc_layer_remat(p, x, src_keep, keys, cfg):
+        it = iter(keys)
+        return hooks.enc_layer(p, x, src_keep, cfg, lambda: next(it))
+
+    @functools.partial(jax.checkpoint, static_argnums=(7,))
+    def _dec_layer_remat(p, x, state, self_keep, mem_keep, tgt_mask, keys,
+                         cfg):
+        it = iter(keys)
+        return hooks.dec_layer_train(p, x, state, self_keep, mem_keep, cfg,
+                                     lambda: next(it), tgt_mask)
+
     # -- encoder ------------------------------------------------------------
     def _encode(params, source, cfg, rngs, dtype, training):
         mask = (source != 0).astype(dtype)
@@ -179,7 +204,10 @@ def make_transformer(hooks: LayerHooks, zero_softmax: bool = False,
 
         src_keep = nn.masking_mask(mask)
         for p in params["encoder"]:
-            x = hooks.enc_layer(p, x, src_keep, cfg, rngs)
+            if _use_remat(cfg, training):
+                x = _enc_layer_remat(p, x, src_keep, _draw_keys(rngs), cfg)
+            else:
+                x = hooks.enc_layer(p, x, src_keep, cfg, rngs)
         if hooks.enc_post is not None:
             x = hooks.enc_post(params["enc_post"], x)
 
@@ -201,8 +229,12 @@ def make_transformer(hooks: LayerHooks, zero_softmax: bool = False,
         self_keep = nn.causal_mask(length)
         mem_keep = nn.masking_mask(state["mask"])
         for p in params["decoder"]:
-            x = hooks.dec_layer_train(p, x, state, self_keep, mem_keep,
-                                      cfg, rngs, mask)
+            if _use_remat(cfg, training):
+                x = _dec_layer_remat(p, x, state, self_keep, mem_keep, mask,
+                                     _draw_keys(rngs), cfg)
+            else:
+                x = hooks.dec_layer_train(p, x, state, self_keep, mem_keep,
+                                          cfg, rngs, mask)
         if hooks.dec_post is not None:
             x = hooks.dec_post(params["dec_post"], x)
         logits = output_logits(x, soft_table)
