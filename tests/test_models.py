@@ -97,3 +97,24 @@ def test_train_is_deterministic_given_rng():
     l1 = float(model.train_fn(params, feats, cfg, jax.random.PRNGKey(7))["loss"])
     l2 = float(model.train_fn(params, feats, cfg, jax.random.PRNGKey(7))["loss"])
     assert l1 == l2
+
+
+def test_cross_family_ensemble():
+    """Ensembling different model families (transformer + rnnsearch) via
+    per-step probability averaging (reference main.py:65-115 allows any
+    registered models)."""
+    from zero_tpu.search import beam_search
+    from zero_tpu.train import make_ensemble_inference
+
+    cfg_t = _cfg_for("transformer")
+    cfg_r = tiny_config(model_name="rnnsearch", cell="gru", caencoder=True)
+    m_t = get_model("transformer")
+    m_r = get_model("rnnsearch")
+    p_t = m_t.init_fn(jax.random.PRNGKey(0), cfg_t)
+    p_r = m_r.init_fn(jax.random.PRNGKey(1), cfg_r)
+
+    ens = make_ensemble_inference([m_t.infer_fn(cfg_t), m_r.infer_fn(cfg_r)])
+    src = jnp.asarray(toy_batch(batch=2)["source"])
+    out = beam_search([p_t, p_r], src, ens, cfg_t)
+    assert out["seq"].shape[:2] == (2, cfg_t.beam_size)
+    assert np.isfinite(np.asarray(out["score"])).all()
