@@ -256,7 +256,8 @@ def infer_fn(cfg):
         return state
 
     def init_cache(params, state, batch, max_len):
-        return {"layers": list(state["decoder_initializer"])}
+        return {"layers": [jnp.repeat(h0, batch // h0.shape[0], axis=0)
+                           for h0 in state["decoder_initializer"]]}
 
     def decode_step(params, prev_tok, state, cache, time):
         _, tgt_table, soft_table = _tables(params, cfg)

@@ -172,7 +172,10 @@ def infer_fn(cfg):
         return state
 
     def init_cache(params, state, batch, max_len):
-        return {"h": state["decoder_initializer"]}
+        # per-beam mutable state: tile the initial decoder state (the
+        # beam-invariant parts of `state` stay untiled)
+        h0 = state["decoder_initializer"]
+        return {"h": jnp.repeat(h0, batch // h0.shape[0], axis=0)}
 
     def decode_step(params, prev_tok, state, cache, time):
         _, tgt_table, soft_table = _tables(params, cfg)

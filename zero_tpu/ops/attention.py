@@ -309,15 +309,28 @@ def cross_attn_step(params, x_t, mkv, mem_keep, num_heads, *,
     count-renormalised softmax (transformer_l0drop.py:72-83).
     Returns (output, new_aan_sum or None).
     """
-    q = nn.linear(params["q"], x_t)
+    q = nn.linear(params["q"], x_t)          # [B*K, 1, h]
+    mem_batch = mkv["mk"].shape[0]
+    q_batch = q.shape[0]
+    # beam-invariant memory: the memory tree may stay UNTILED at [B, ...]
+    # while queries come per-beam at [B*K, 1, ...]. Fold the beams into the
+    # query-length dimension so k/v are read once per batch row instead of
+    # once per beam (the main decode HBM saving vs the reference's tiled
+    # towers).
+    beams = q_batch // mem_batch
+    q2 = q.reshape(mem_batch, beams * q.shape[1], q.shape[2])
+
     keep = mem_keep.astype(jnp.float32)[:, None, None, :]
     rpr_ids = None
     if rpr_tables is not None:
         rpr_ids = rpr_mod.relative_positions_row(
             time, mkv["mk"].shape[1], max_relative_position)
-    o, _ = _attn_core(q, mkv["mk"], mkv["mv"], keep, num_heads, relu=relu,
+        # same decode position for every beam-query row
+        rpr_ids = jnp.tile(rpr_ids, (q2.shape[1], 1))
+    o, _ = _attn_core(q2, mkv["mk"], mkv["mv"], keep, num_heads, relu=relu,
                       rpr_tables=rpr_tables, rpr_ids=rpr_ids,
                       count_weights=count_weights)
+    o = o.reshape(q_batch, q.shape[1], -1)
     if relu and "post" in params:
         o = gated_rms_norm(params["post"], o)
 
@@ -359,28 +372,38 @@ def additive_attention(params, query, memory, mem_mask, num_heads=1, *,
                        proj_memory=None, rng=None, drop=None, att_fun="add"):
     """Bahdanau attention (func.py:107-161).
 
-    query: [B, d]; memory: [B, S, dm]; mem_mask: [B, S].
-    Returns {'output': [B, dm], 'weights', 'cache_state': projected memory}.
+    query: [B, d] or [B*K, d] against beam-invariant memory [B, S, dm]
+    (per-beam queries fold into an extra query axis so the memory is read
+    once per batch row); mem_mask: [B, S].
+    Returns {'output': [B(*K), dm], 'weights', 'cache_state': projected
+    memory}.
     """
     if proj_memory is None:
         proj_memory = nn.linear(params["feed_memory"], memory)
-    q = nn.linear(params["feed_query"], query[:, None, :])
+    mem_batch = memory.shape[0]
+    beams = query.shape[0] // mem_batch
+    q = nn.linear(params["feed_query"], query)
+    q = q.reshape(mem_batch, beams, -1)
 
-    qh = split_heads(q, num_heads)            # [B, H, 1, hidden/H]
+    qh = split_heads(q, num_heads)             # [B, H, K, hidden/H]
     pmh = split_heads(proj_memory, num_heads)  # [B, H, S, hidden/H]
 
     if att_fun == "add":
-        value = jnp.tanh(qh + pmh)
-        logits = nn.linear(params["feed_logits"], value)[..., 0]  # [B, H, S]
+        value = jnp.tanh(qh[:, :, :, None, :] + pmh[:, :, None, :, :])
+        logits = nn.linear(params["feed_logits"], value)[..., 0]  # [B,H,K,S]
     else:
-        logits = jnp.einsum("bhqd,bhkd->bhqk", qh, pmh)[:, :, 0, :]
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qh, pmh)
 
     logits = logits.astype(jnp.float32)
-    logits = jnp.where(mem_mask[:, None, :] > 0, logits, jnp.float32(-1e9))
-    weights = jax.nn.softmax(logits, axis=-1)             # [B, H, S]
+    logits = jnp.where(mem_mask[:, None, None, :] > 0, logits,
+                       jnp.float32(-1e9))
+    weights = jax.nn.softmax(logits, axis=-1)              # [B, H, K, S]
     dweights = dropout(rng, weights, drop)
 
     mh = split_heads(memory, num_heads)                    # [B, H, S, dm/H]
-    value = jnp.sum(dweights[..., None].astype(memory.dtype) * mh, axis=-2)
-    value = value.reshape(value.shape[0], -1)              # [B, dm]
+    value = jnp.einsum("bhks,bhsd->bkhd",
+                       dweights.astype(memory.dtype), mh)
+    value = value.reshape(query.shape[0], -1)              # [B*K, dm]
+    weights = weights.transpose(0, 2, 1, 3).reshape(
+        query.shape[0], num_heads, -1)                     # [B*K, H, S]
     return {"weights": weights, "output": value, "cache_state": proj_memory}

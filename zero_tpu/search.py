@@ -80,9 +80,14 @@ def beam_search(params, source, inference, cfg, rng: Optional[jax.Array] = None)
     t_max = min(int(cfg.decode_max_len), src_len + int(cfg.decode_length))
     dev_mode = cfg.search_mode != "cache"
 
-    # encode once, tile state across beams
+    # encode once. In cache mode the beam-invariant state stays UNTILED at
+    # [B, ...]: cross attention folds beams into the query axis, reading
+    # encoder memory once per batch row (vs the reference tiling everything
+    # per beam, search.py:36-39). Dev mode recomputes the full decoder over
+    # per-beam buffers, so there the state is tiled.
     state = inference.encode(params, source)
-    state = jax.tree.map(lambda x: _tile_beam(x, beam_size), state)
+    if dev_mode:
+        state = jax.tree.map(lambda x: _tile_beam(x, beam_size), state)
 
     source_length = jnp.sum(src_mask, -1)                      # [B]
     max_target_length = jnp.minimum(source_length + cfg.decode_length,
@@ -235,8 +240,7 @@ def ib_beam_search(params, source, inference, cfg,
     max_pairs = t_max // 2 + 1
     z_max = 2 * max_pairs
 
-    state = inference.encode(params, source)
-    state = jax.tree.map(lambda x: _tile_beam(x, beam_size), state)
+    state = inference.encode(params, source)  # untiled; see beam_search
     source_length = jnp.sum(src_mask, -1)
     max_target_length = jnp.minimum(source_length + cfg.decode_length,
                                     t_max).astype(jnp.int32)
