@@ -312,6 +312,10 @@ def default_config() -> Config:
         # the previous segment's AFS-reduced features)
         st_context=False,
         context_max_frame_len=1024,
+        # multilingual LaLN/LaLT (docs/multilingual_laln_lalt): language
+        # tags occupy vocab ids [lang_id_offset, lang_id_offset+num_languages)
+        num_languages=2,
+        lang_id_offset=3,
         ctc_alpha=0.3,
         ctc_repeated=False,
         ctc_enable=False,
