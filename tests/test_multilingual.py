@@ -15,8 +15,8 @@ from tests.helpers import tiny_config, toy_batch
 
 
 def _cfg(**over):
-    return tiny_config(model_name="transformer_multilingual",
-                       num_languages=3, lang_id_offset=3, **over)
+    over.setdefault("model_name", "transformer_multilingual")
+    return tiny_config(num_languages=3, lang_id_offset=3, **over)
 
 
 def _batch(batch=4):
@@ -83,6 +83,38 @@ def test_cache_decode_equals_dev():
     src = _batch(batch=2)["source"]
     out_c = beam_search(params, src, model.infer_fn(cfg), cfg)
     cfg_dev = _cfg(search_mode="dev")
+    out_d = beam_search(params, src, model.infer_fn(cfg_dev), cfg_dev)
+    np.testing.assert_array_equal(np.asarray(out_c["seq"]),
+                                  np.asarray(out_d["seq"]))
+
+
+# -- CLSR ---------------------------------------------------------------------
+
+def test_clsr_train_score_and_budget():
+    cfg = _cfg(model_name="transformer_clsr", clsr_budget=0.5, clsr_alpha=1.0)
+    model = get_model("transformer_clsr")
+    params = model.init_fn(jax.random.PRNGKey(0), cfg)
+    feats = _batch()
+    loss = float(model.train_fn(params, feats, cfg,
+                                jax.random.PRNGKey(1))["loss"])
+    assert np.isfinite(loss) and loss > 0
+    # budget loss contributes: alpha=0 must change the total
+    cfg0 = _cfg(model_name="transformer_clsr", clsr_budget=0.0,
+                clsr_alpha=10.0)
+    loss0 = float(model.train_fn(params, feats, cfg0,
+                                 jax.random.PRNGKey(1))["loss"])
+    assert loss0 != loss
+    score = model.score_fn(params, feats, cfg)["score"]
+    assert np.isfinite(np.asarray(score)).all()
+
+
+def test_clsr_cache_decode_equals_dev():
+    cfg = _cfg(model_name="transformer_clsr")
+    model = get_model("transformer_clsr")
+    params = model.init_fn(jax.random.PRNGKey(0), cfg)
+    src = _batch(batch=2)["source"]
+    out_c = beam_search(params, src, model.infer_fn(cfg), cfg)
+    cfg_dev = _cfg(model_name="transformer_clsr", search_mode="dev")
     out_d = beam_search(params, src, model.infer_fn(cfg_dev), cfg_dev)
     np.testing.assert_array_equal(np.asarray(out_c["seq"]),
                                   np.asarray(out_d["seq"]))

@@ -316,6 +316,10 @@ def default_config() -> Config:
         # tags occupy vocab ids [lang_id_offset, lang_id_offset+num_languages)
         num_languages=2,
         lang_id_offset=3,
+        # CLSR (docs/conditional_language_specific_routing): budget p of
+        # language-specific capacity + budget-loss weight
+        clsr_budget=0.5,
+        clsr_alpha=1.0,
         ctc_alpha=0.3,
         ctc_repeated=False,
         ctc_enable=False,
