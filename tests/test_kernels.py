@@ -70,7 +70,9 @@ def test_dropout_scales_and_zeroes():
 def test_supported_bound():
     assert supported(256, 256)
     assert supported(1024, 1024)
-    assert not supported(2048, 2048)
+    assert supported(2048, 2048)   # q-blocked
+    assert supported(4096, 8192)
+    assert not supported(4096, 16384)  # beyond the Lk VMEM residency bound
 
 
 def test_flash_model_path_matches_xla_path():

@@ -1,31 +1,32 @@
-"""Fused multi-head attention Pallas TPU kernel.
+"""Fused multi-head attention Pallas TPU kernel (query-blocked).
 
 Replaces the reference's composite attention graph (qk matmul -> mask add
--> softmax -> dropout -> pv matmul, func.py:222-254) with one
-VMEM-resident kernel per (batch, head): the [Lq, Lk] score matrix never
-touches HBM. NMT sequence lengths (<=1k BPE tokens) fit whole-sequence
-blocks in VMEM, so no online-softmax streaming is needed; oversized shapes
-fall back to the XLA path at the caller.
+-> softmax -> dropout -> pv matmul, func.py:222-254) with a fused kernel:
+the [Lq, Lk] score matrix lives only in VMEM, one query block at a time,
+so the L^2 intermediate never touches HBM. At MT sequence lengths
+(<=256) XLA's batched attention is as fast or faster (measured on v5e;
+see below) -- the kernel pays off at long-sequence inputs (speech
+encoders, 1k-4k frames) where XLA materialises multi-MB score tensors.
 
 Design:
-  * grid (B*H,); every ref is the full per-head slab in VMEM
+  * grid (B*H, Lq/BQ); keys/values for the whole sequence stay resident
+    per head, queries stream in BQ-row blocks
   * padding mask [B, Lk] broadcast per head via the index map; causal
-    masking via 2D iota comparison (static flag)
+    masking via 2D iota against the block's absolute row offset
   * softmax in fp32 with explicit max-subtraction; logsumexp saved as a
     residual for the backward pass
-  * attention dropout with the in-kernel PRNG: the backward kernel reseeds
-    with the same per-head seed and regenerates the identical mask
-  * custom VJP: backward recomputes probabilities from (q, k, lse) and
-    emits dq, dk, dv in one kernel -- standard softmax-backward algebra,
-    all matmuls on the MXU with fp32 accumulation
+  * attention dropout with the in-kernel PRNG, seeded per (head, q-block)
+    so the backward kernel regenerates the identical mask
+  * custom VJP: dq is computed per q-block; dk/dv accumulate across the
+    q-block grid axis into a revisited output block (zero-initialised at
+    the first block) -- standard softmax-backward algebra, all matmuls on
+    the MXU with fp32 accumulation
 
 Measured status (TPU v5e, 2026-08): forward bit-matches the XLA reference
-and gradients agree to matmul precision, but inside a compiled train step
-XLA's batched attention is FASTER at MT sequence lengths (<=256; tiny
-per-head matmuls under-utilise the MXU and the (B*H,) grid adds launch
-overhead). use_flash_attention therefore defaults to False; the kernel is
-kept as a validated foundation for long-context work (blocked/streaming
-variants) where the L^2 HBM traffic becomes the bottleneck.
+and gradients agree to matmul precision. Inside a compiled train step XLA
+wins at MT lengths (tiny per-head matmuls under-utilise the MXU), so
+use_flash_attention defaults to False for text models; the query-blocked
+form targets the long-sequence speech path.
 """
 
 from __future__ import annotations
@@ -39,38 +40,60 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-# whole-sequence blocks must keep the score matrix in VMEM; beyond this the
-# caller should use the XLA path (speech-length inputs)
-MAX_SCORE_ELEMS = 2 * 1024 * 1024
+# per-block score elements kept in VMEM (fp32): BQ * Lk
+MAX_BLOCK_SCORE_ELEMS = 1024 * 1024
+MAX_LK = 8192
 
 
-def _causal_keep(lq: int, lk: int):
-    rows = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 1)
+def _pick_block(lq: int, lk: int) -> Optional[int]:
+    """Largest q-block size that divides lq and fits the VMEM budget."""
+    for bq in (512, 256, 128, 64, 32, 16, 8):
+        if lq % bq == 0 and bq * lk <= MAX_BLOCK_SCORE_ELEMS:
+            return bq
+    if lq * lk <= MAX_BLOCK_SCORE_ELEMS:
+        return lq
+    return None
+
+
+def supported(lq: int, lk: int) -> bool:
+    return lk <= MAX_LK and _pick_block(lq, lk) is not None
+
+
+def _causal_keep(bq: int, lk: int, row_offset):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bq, lk), 0) + row_offset
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bq, lk), 1)
     return rows >= cols
 
 
 def _dropout_keep(shape, rate: float):
-    bits = pltpu.prng_random_bits(shape)
-    bits = pltpu.bitcast(bits, jnp.uint32)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     threshold = jnp.uint32(int((1.0 - rate) * 4294967295.0))
     return bits < threshold
 
 
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
-                scale: float, causal: bool, dropout_rate: float):
-    q = q_ref[0].astype(jnp.float32)            # [Lq, Dh]
-    k = k_ref[0].astype(jnp.float32)            # [Lk, Dh]
-    v = v_ref[0].astype(jnp.float32)
-    lq, lk = q.shape[0], k.shape[0]
-
+def _scores(q_ref, k_ref, mask_ref, scale, causal, bq):
+    q = q_ref[0].astype(jnp.float32)             # [BQ, Dh]
+    k = k_ref[0].astype(jnp.float32)             # [Lk, Dh]
+    lk = k.shape[0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-
-    keep = mask_ref[0, 0, :] > 0                 # [Lk]
+    keep = mask_ref[0, 0, :] > 0
     s = jnp.where(keep[None, :], s, NEG_INF)
     if causal:
-        s = jnp.where(_causal_keep(lq, lk), s, NEG_INF)
+        row_offset = pl.program_id(1) * bq
+        s = jnp.where(_causal_keep(bq, lk, row_offset), s, NEG_INF)
+    return s
+
+
+def _block_seed(seed_ref):
+    return seed_ref[0] + pl.program_id(0) * pl.num_programs(1) \
+        + pl.program_id(1)
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
+                scale: float, causal: bool, dropout_rate: float, bq: int):
+    s = _scores(q_ref, k_ref, mask_ref, scale, causal, bq)
+    v = v_ref[0].astype(jnp.float32)
 
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
@@ -79,8 +102,8 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
     lse_ref[0, 0, :] = (m + jnp.log(l))[:, 0]
 
     if dropout_rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        dmask = _dropout_keep((lq, lk), dropout_rate)
+        pltpu.prng_seed(_block_seed(seed_ref))
+        dmask = _dropout_keep(s.shape, dropout_rate)
         w = jnp.where(dmask, w / (1.0 - dropout_rate), 0.0)
 
     o = jax.lax.dot_general(w, v, (((1,), (0,)), ((), ())),
@@ -90,41 +113,32 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, lse_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *, scale: float, causal: bool,
-                dropout_rate: float):
+                dropout_rate: float, bq: int):
+    s = _scores(q_ref, k_ref, mask_ref, scale, causal, bq)
     q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
     lse = lse_ref[0, 0, :][:, None]
-    lq, lk = q.shape[0], k.shape[0]
-
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    keep = mask_ref[0, 0, :] > 0
-    s = jnp.where(keep[None, :], s, NEG_INF)
-    if causal:
-        s = jnp.where(_causal_keep(lq, lk), s, NEG_INF)
-    w = jnp.exp(s - lse)                        # softmax weights
+    w = jnp.exp(s - lse)                         # softmax weights
 
     if dropout_rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        dmask = _dropout_keep((lq, lk), dropout_rate)
+        pltpu.prng_seed(_block_seed(seed_ref))
+        dmask = _dropout_keep(s.shape, dropout_rate)
         inv = 1.0 / (1.0 - dropout_rate)
         w_d = jnp.where(dmask, w * inv, 0.0)
     else:
         w_d = w
 
-    # dv = w_d^T @ do
+    # dv += w_d^T @ do ; dw_d = do @ v^T
     dv = jax.lax.dot_general(w_d, do, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    # dw_d = do @ v^T
     dw_d = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
     if dropout_rate > 0.0:
         dw = jnp.where(dmask, dw_d * inv, 0.0)
     else:
         dw = dw_d
-    # softmax backward: ds = w * (dw - rowsum(dw * w))
     row = jnp.sum(dw * w, axis=-1, keepdims=True)
     ds = w * (dw - row)
 
@@ -134,24 +148,33 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, lse_ref, do_ref,
                              preferred_element_type=jnp.float32) * scale
 
     dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    # dk/dv blocks are revisited across the q-block grid axis: accumulate
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+    dk_ref[0] += dk.astype(dk_ref.dtype)
+    dv_ref[0] += dv.astype(dv_ref.dtype)
 
 
-def _specs(batch, heads, lq, lk, dh):
+def _specs(heads, bq, lk, dh):
     # with PrefetchScalarGridSpec, index maps also receive the scalar refs
-    def head_map(i, *_):
+    def q_map(i, j, *_):
+        return (i, j, 0)
+
+    def kv_map(i, j, *_):
         return (i, 0, 0)
 
-    def mask_map(i, *_):
+    def mask_map(i, j, *_):
         return (i // heads, 0, 0)
 
-    q_spec = pl.BlockSpec((1, lq, dh), head_map, memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((1, lk, dh), head_map, memory_space=pltpu.VMEM)
-    # mask/lse carried as [_, 1, L] so the trailing-2 block dims equal the
-    # full array dims (TPU lowering constraint)
+    def lse_map(i, j, *_):
+        return (i, 0, j)
+
+    q_spec = pl.BlockSpec((1, bq, dh), q_map, memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, lk, dh), kv_map, memory_space=pltpu.VMEM)
     mask_spec = pl.BlockSpec((1, 1, lk), mask_map, memory_space=pltpu.VMEM)
-    lse_spec = pl.BlockSpec((1, 1, lq), head_map, memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, 1, bq), lse_map, memory_space=pltpu.VMEM)
     return q_spec, kv_spec, mask_spec, lse_spec
 
 
@@ -166,17 +189,19 @@ def _fused_forward(q, k, v, pad_mask, causal, dropout_rate, seed):
     lk = k.shape[2]
     scale = dh ** -0.5
     bh = b * h
+    bq = _pick_block(lq, lk)
+    nq = lq // bq
 
     q3 = q.reshape(bh, lq, dh)
     k3 = k.reshape(bh, lk, dh)
     v3 = v.reshape(bh, lk, dh)
 
-    q_spec, kv_spec, mask_spec, lse_spec = _specs(b, h, lq, lk, dh)
+    q_spec, kv_spec, mask_spec, lse_spec = _specs(h, bq, lk, dh)
     kernel = functools.partial(_fwd_kernel, scale=scale, causal=causal,
-                               dropout_rate=dropout_rate)
+                               dropout_rate=dropout_rate, bq=bq)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bh,),
+        grid=(bh, nq),
         in_specs=[q_spec, kv_spec, kv_spec, mask_spec],
         out_specs=[q_spec, lse_spec],
     )
@@ -200,18 +225,20 @@ def _fused_bwd_rule(causal, dropout_rate, residuals, g):
     lk = k.shape[2]
     scale = dh ** -0.5
     bh = b * h
+    bq = _pick_block(lq, lk)
+    nq = lq // bq
 
     q3 = q.reshape(bh, lq, dh)
     k3 = k.reshape(bh, lk, dh)
     v3 = v.reshape(bh, lk, dh)
     do3 = g.reshape(bh, lq, dh)
 
-    q_spec, kv_spec, mask_spec, lse_spec = _specs(b, h, lq, lk, dh)
+    q_spec, kv_spec, mask_spec, lse_spec = _specs(h, bq, lk, dh)
     kernel = functools.partial(_bwd_kernel, scale=scale, causal=causal,
-                               dropout_rate=dropout_rate)
+                               dropout_rate=dropout_rate, bq=bq)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bh,),
+        grid=(bh, nq),
         in_specs=[q_spec, kv_spec, kv_spec, mask_spec, lse_spec, q_spec],
         out_specs=[q_spec, kv_spec, kv_spec],
     )
@@ -219,19 +246,16 @@ def _fused_bwd_rule(causal, dropout_rate, residuals, g):
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((bh, lq, dh), q.dtype),
-                   jax.ShapeDtypeStruct((bh, lk, dh), k.dtype),
-                   jax.ShapeDtypeStruct((bh, lk, dh), v.dtype)],
+                   jax.ShapeDtypeStruct((bh, lk, dh), jnp.float32),
+                   jax.ShapeDtypeStruct((bh, lk, dh), jnp.float32)],
     )(seed, q3, k3, v3, pad_mask[:, None, :], lse, do3)
-    return (dq.reshape(b, h, lq, dh), dk.reshape(b, h, lk, dh),
-            dv.reshape(b, h, lk, dh), jnp.zeros_like(pad_mask), None)
+    return (dq.reshape(b, h, lq, dh),
+            dk.reshape(b, h, lk, dh).astype(k.dtype),
+            dv.reshape(b, h, lk, dh).astype(v.dtype),
+            jnp.zeros_like(pad_mask), None)
 
 
 _fused_attention.defvjp(_fused_fwd_rule, _fused_bwd_rule)
-
-
-def supported(lq: int, lk: int) -> bool:
-    """Whole-sequence blocks must fit VMEM; longer inputs use XLA."""
-    return lq * lk <= MAX_SCORE_ELEMS
 
 
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
