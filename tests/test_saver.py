@@ -1,0 +1,73 @@
+"""Saver tests: latest-k rolloff, best-k ledger semantics, partial restore."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zero_tpu.saver import Saver, _read_index
+
+
+def _tree(val):
+    return {"a": np.full((3,), val, np.float32),
+            "nested": {"b": np.full((2,), val * 10, np.float32)}}
+
+
+def test_latest_k_rolloff(tmp_path):
+    s = Saver(checkpoints=2, output_dir=str(tmp_path))
+    for step in [10, 20, 30]:
+        s.save({"params": _tree(step)}, step)
+    names = _read_index(str(tmp_path))
+    assert names == ["model-20", "model-30"]
+    assert not os.path.exists(tmp_path / "model-10.npz")
+
+
+def test_best_k_ledger(tmp_path):
+    s = Saver(checkpoints=5, output_dir=str(tmp_path), best_checkpoints=2)
+    s.save({"params": _tree(1)}, 10, metric_score=10.0)
+    s.save({"params": _tree(2)}, 20, metric_score=5.0)   # worse, still top-2
+    s.save({"params": _tree(3)}, 30, metric_score=12.0)  # evicts 5.0
+    ledger = open(tmp_path / "best" / "topk_checkpoint").read().splitlines()
+    names = [line.split("\t")[0] for line in ledger]
+    assert names == ["model-10", "model-30"]
+    assert not os.path.exists(tmp_path / "best" / "model-20.npz")
+    assert s.best_score == 12.0
+    # metric.log records improvements only
+    log = open(tmp_path / "best" / "metric.log").read()
+    assert "10.0" in log and "12.0" in log and "5.0" not in log
+
+
+def test_resume_best_score_from_metric_log(tmp_path):
+    s = Saver(checkpoints=2, output_dir=str(tmp_path))
+    s.save({"params": _tree(1)}, 10, metric_score=33.5)
+    s2 = Saver(checkpoints=2, output_dir=str(tmp_path))
+    assert s2.best_score == 33.5
+    assert s2.topk_scores == [("model-10", 33.5)]
+
+
+def test_partial_restore_keeps_missing(tmp_path, caplog):
+    s = Saver(checkpoints=2, output_dir=str(tmp_path))
+    s.save({"params": _tree(7)}, 10)
+    # template with an extra leaf the checkpoint doesn't have
+    template = _tree(0)
+    template["extra"] = np.full((4,), -1.0, np.float32)
+    restored = s.restore({"params": template})["params"]
+    np.testing.assert_allclose(restored["a"], np.full((3,), 7.0))
+    np.testing.assert_allclose(restored["extra"], np.full((4,), -1.0))
+
+
+def test_restore_shape_mismatch_keeps_model_value(tmp_path):
+    s = Saver(checkpoints=2, output_dir=str(tmp_path))
+    s.save({"params": {"w": np.ones((4,), np.float32)}}, 10)
+    template = {"w": np.zeros((6,), np.float32)}
+    restored = s.restore({"params": template})["params"]
+    assert restored["w"].shape == (6,)
+    np.testing.assert_allclose(restored["w"], 0.0)
+
+
+def test_restore_no_checkpoint_returns_template(tmp_path):
+    s = Saver(checkpoints=2, output_dir=str(tmp_path / "empty"))
+    template = {"w": np.ones((2,), np.float32)}
+    restored = s.restore({"params": template})["params"]
+    np.testing.assert_allclose(restored["w"], 1.0)
