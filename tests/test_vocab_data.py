@@ -124,3 +124,18 @@ def test_round_up():
     assert round_up(8, 8) == 8
     assert round_up(0, 8) == 0
     assert round_up(5, 1) == 5
+
+
+def test_id_cache_consistent_across_epochs(tmp_path, vocab):
+    pairs = [("a b c", "b c"), ("a", "b"), ("c c", "d d")]
+    src, tgt = _write_corpus(tmp_path, pairs)
+    ds = Dataset(src, tgt, vocab, vocab, batch_or_token="batch",
+                 cache_ids=True)
+    first = list(ds.load_data())
+    assert ds._id_cache is not None
+    second = list(ds.load_data())
+    assert first == second
+    # cache off keeps streaming from disk
+    ds2 = Dataset(src, tgt, vocab, vocab, cache_ids=False)
+    list(ds2.load_data())
+    assert ds2._id_cache is None
