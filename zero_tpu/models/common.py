@@ -30,6 +30,7 @@ from typing import Any, Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from zero_tpu import dtypes
 from zero_tpu.models.base import Inference
 from zero_tpu.ops import initializers as inits
 from zero_tpu.ops import nn
@@ -241,11 +242,8 @@ def make_transformer(hooks: LayerHooks, zero_softmax: bool = False,
         return logits, mask
 
     def _loss(params, features, cfg, rng, step, training, label_smooth):
-        dtype = jnp.bfloat16 if cfg.default_dtype == "bfloat16" else jnp.float32
-        cparams = jax.tree.map(
-            lambda a: a.astype(dtype)
-            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
-            else a, params)
+        dtype = dtypes.compute_dtype(cfg)
+        cparams = dtypes.cast_to_compute(params, cfg)
         rngs = RngGen(rng if training else None)
         state = _encode(cparams, features["source"], cfg, rngs, dtype, training)
         logits, mask = _decode_train(cparams, features["target"], state, cfg,
@@ -269,13 +267,10 @@ def make_transformer(hooks: LayerHooks, zero_softmax: bool = False,
 
     # -- inference ------------------------------------------------------------
     def infer_fn(cfg):
-        dtype = jnp.bfloat16 if cfg.default_dtype == "bfloat16" else jnp.float32
+        dtype = dtypes.compute_dtype(cfg)
 
         def encode(params, source):
-            cparams = jax.tree.map(
-                lambda a: a.astype(dtype)
-                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
-                else a, params)
+            cparams = dtypes.cast_to_compute(params, cfg)
             rngs = RngGen(None)
             state = _encode(cparams, source, cfg, rngs, dtype, False)
             # per-layer beam-invariant decode state (cross mk/mv)
@@ -302,10 +297,7 @@ def make_transformer(hooks: LayerHooks, zero_softmax: bool = False,
             return nn.add_timing_signal(x, time=time)
 
         def decode_step(params, prev_tok, state, cache, time):
-            cparams = jax.tree.map(
-                lambda a: a.astype(dtype)
-                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
-                else a, params)
+            cparams = dtypes.cast_to_compute(params, cfg)
             _, _, soft_table = emb_tables(cparams, cfg, zero_softmax)
             x = _embed_step(cparams, prev_tok, time)
             new_layer_caches = []
@@ -322,10 +314,7 @@ def make_transformer(hooks: LayerHooks, zero_softmax: bool = False,
         def decode_prefix(params, tgt_buffer, state, time):
             """Dev-mode oracle: full causal recompute over the [B, T_max]
             buffer; positions > time are garbage but causally invisible."""
-            cparams = jax.tree.map(
-                lambda a: a.astype(dtype)
-                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
-                else a, params)
+            cparams = dtypes.cast_to_compute(params, cfg)
             rngs = RngGen(None)
             _, tgt_table, soft_table = emb_tables(cparams, cfg, zero_softmax)
             x = embed_scaled(tgt_table, tgt_buffer, cparams["emb_bias"], cfg,

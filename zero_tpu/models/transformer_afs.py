@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from zero_tpu import dtypes
 from zero_tpu.models import common, transformer as base
 from zero_tpu.models.base import Inference, model_register
 from zero_tpu.ops import l0norm, nn
@@ -90,7 +91,7 @@ def _soft_table(params, cfg):
 
 def _frontend(params, audio, mask, cfg, rngs, training):
     """Frame-stack, project, add positions. Returns (x [B,T',h], mask')."""
-    audio = audio.astype(_compute_dtype(cfg))
+    audio = audio.astype(dtypes.compute_dtype(cfg))
     k = max(int(cfg.audio_frame_stride), 1)
     b, t, m = audio.shape
     if k > 1:
@@ -158,18 +159,6 @@ def _st_encode(params, x, mask, cfg, rngs):
     return x
 
 
-def _compute_dtype(cfg):
-    import jax.numpy as _jnp
-    return _jnp.bfloat16 if cfg.default_dtype == "bfloat16" else _jnp.float32
-
-
-def _cast(params, dtype):
-    return jax.tree.map(
-        lambda a: a.astype(dtype)
-        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
-        else a, params)
-
-
 def _encode(params, audio, mask, cfg, rngs, training,
             context=None, context_mask=None):
     x, mask = _frontend(params, audio, mask, cfg, rngs, training)
@@ -195,7 +184,7 @@ def _encode(params, audio, mask, cfg, rngs, training,
 def _decode_train(params, target, state, cfg, rngs, training):
     dmask = (target != 0).astype(jnp.float32)
     x = common.embed_scaled(params["tgt_embedding"], target,
-                            params["emb_bias"], cfg, _compute_dtype(cfg))
+                            params["emb_bias"], cfg, dtypes.compute_dtype(cfg))
     x = common.shift_right(x)
     x = nn.add_timing_signal(x)
     x = dropout(rngs(), x, cfg.dropout if training else None)
@@ -224,7 +213,7 @@ def _ctc_loss(params, state, transcript, cfg):
 
 
 def train_fn(params, features, cfg, rng, step=0):
-    params = _cast(params, _compute_dtype(cfg))
+    params = dtypes.cast_to_compute(params, cfg)
     rngs = RngGen(rng)
     state = _encode(params, features["audio"],
                     features["audio_mask"], cfg, rngs, True,
@@ -246,7 +235,7 @@ def train_fn(params, features, cfg, rng, step=0):
 
 
 def score_fn(params, features, cfg):
-    params = _cast(params, _compute_dtype(cfg))
+    params = dtypes.cast_to_compute(params, cfg)
     rngs = RngGen(None)
     state = _encode(params, features["audio"], features["audio_mask"], cfg,
                     rngs, False, context=features.get("context"),
@@ -259,7 +248,7 @@ def score_fn(params, features, cfg):
 
 def infer_fn(cfg):
     def encode(params, source):
-        params = _cast(params, _compute_dtype(cfg))
+        params = dtypes.cast_to_compute(params, cfg)
         rngs = RngGen(None)
         state = _encode(params, source["audio"], source["mask"], cfg, rngs,
                         False, context=source.get("context"),
@@ -273,13 +262,13 @@ def infer_fn(cfg):
 
     def init_cache(params, state, batch, max_len):
         return {"layers": [base.init_dec_layer_cache(p, batch, max_len, cfg,
-                                                     _compute_dtype(cfg))
+                                                     dtypes.compute_dtype(cfg))
                            for p in params["decoder"]]}
 
     def decode_step(params, prev_tok, state, cache, time):
-        params = _cast(params, _compute_dtype(cfg))
+        params = dtypes.cast_to_compute(params, cfg)
         x = common.embed_scaled(params["tgt_embedding"], prev_tok,
-                                params["emb_bias"], cfg, _compute_dtype(cfg))
+                                params["emb_bias"], cfg, dtypes.compute_dtype(cfg))
         x = jnp.where(time > 0, x, jnp.zeros_like(x))
         x = nn.add_timing_signal(x, time=time)
         new_caches = []

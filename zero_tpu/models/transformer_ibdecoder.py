@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from zero_tpu import dtypes
 from zero_tpu.models import common, transformer as base
 from zero_tpu.models.base import model_register
 from zero_tpu.ops import nn
@@ -120,23 +121,11 @@ def init_fn(rng, cfg):
     return params
 
 
-def _compute_dtype(cfg):
-    return jnp.bfloat16 if cfg.default_dtype == "bfloat16" else jnp.float32
-
-
-def _cast(params, cfg):
-    dtype = _compute_dtype(cfg)
-    return jax.tree.map(
-        lambda a: a.astype(dtype)
-        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
-        else a, params)
-
-
 def _encode(params, source, cfg, rngs, training):
     mask = (source != 0).astype(jnp.float32)
     src_table, _, _ = common.emb_tables(params, cfg)
     x = common.embed_scaled(src_table, source, params["emb_bias"], cfg,
-                            _compute_dtype(cfg))
+                            dtypes.compute_dtype(cfg))
     x = nn.add_timing_signal(x)
     x = dropout(rngs(), x, cfg.dropout if training else None)
     keep = nn.masking_mask(mask)
@@ -150,7 +139,7 @@ def _embed_z(params, z, cfg):
     members of pair i) + direction embedding by parity."""
     _, tgt_table, _ = common.emb_tables(params, cfg)
     x = common.embed_scaled(tgt_table, z, params["emb_bias"], cfg,
-                            _compute_dtype(cfg))
+                            dtypes.compute_dtype(cfg))
     z_len = z.shape[1]
     pair_pos = jnp.arange(z_len) // 2
     sig = nn.timing_signal(z_len, cfg.embed_size)        # [Z, E]
@@ -183,7 +172,7 @@ def _decode_train(params, z, state, cfg, rngs, training):
 
 
 def train_fn(params, features, cfg, rng, step=0):
-    params = _cast(params, cfg)
+    params = dtypes.cast_to_compute(params, cfg)
     rngs = RngGen(rng)
     state = _encode(params, features["source"], cfg, rngs, True)
     z = interleave_target(features["target"], cfg.tgt_vocab.eos())
@@ -193,7 +182,7 @@ def train_fn(params, features, cfg, rng, step=0):
 
 
 def score_fn(params, features, cfg):
-    params = _cast(params, cfg)
+    params = dtypes.cast_to_compute(params, cfg)
     rngs = RngGen(None)
     state = _encode(params, features["source"], cfg, rngs, False)
     z = interleave_target(features["target"], cfg.tgt_vocab.eos())
@@ -211,7 +200,7 @@ class IBInference(NamedTuple):
 
 def infer_fn(cfg):
     def encode(params, source):
-        params = _cast(params, cfg)
+        params = dtypes.cast_to_compute(params, cfg)
         rngs = RngGen(None)
         state = _encode(params, source, cfg, rngs, False)
         state["layers"] = [
@@ -221,7 +210,7 @@ def infer_fn(cfg):
 
     def init_cache(params, state, batch, max_z_len):
         return {"layers": [base.init_dec_layer_cache(p, batch, max_z_len,
-                                                     cfg, _compute_dtype(cfg))
+                                                     cfg, dtypes.compute_dtype(cfg))
                            for p in params["decoder"]]}
 
     def decode_pair(params, prev_pair, state, cache, pair_i):
@@ -232,7 +221,7 @@ def infer_fn(cfg):
         pair i's slots is the embedding of pair i-1's tokens carrying
         pair position i-1 and direction parity; pair 0's input is the
         all-zero vector (from the training-time pad)."""
-        params = _cast(params, cfg)
+        params = dtypes.cast_to_compute(params, cfg)
         x = _embed_z(params, prev_pair, cfg)  # pos(0) + dirs for slots 0,1
         sig0 = nn.timing_signal(1, cfg.embed_size)[0]
         sig_prev = nn.timing_signal(jnp.maximum(pair_i - 1, 0),
@@ -251,7 +240,7 @@ def infer_fn(cfg):
         return logits, {"layers": new_caches}
 
     def decode_prefix(params, z_buffer, state, pair_i):
-        params = _cast(params, cfg)
+        params = dtypes.cast_to_compute(params, cfg)
         rngs = RngGen(None)
         logits, _ = _decode_train(params, z_buffer, state, cfg, rngs, False)
         sl = jax.lax.dynamic_slice_in_dim(logits, 2 * pair_i, 2, axis=1)

@@ -72,16 +72,6 @@ def dropout(rng: Optional[jax.Array], x: jax.Array,
     return jnp.where(mask, x / keep, jnp.zeros_like(x)).astype(x.dtype)
 
 
-def mask_logits(logits: jax.Array, mask: jax.Array) -> jax.Array:
-    """Additively push masked (mask==0) positions to a large negative value.
-
-    Uses a dtype-appropriate big-negative instead of the reference's 1e8
-    constant (utils/util.py:68-72) so bf16 softmax stays finite.
-    """
-    neg = jnp.finfo(logits.dtype).min * jnp.array(0.5, logits.dtype)
-    return jnp.where(mask > 0, logits, neg)
-
-
 def log_prob_from_logits(logits: jax.Array) -> jax.Array:
     return logits - jax.nn.logsumexp(logits, axis=-1, keepdims=True)
 

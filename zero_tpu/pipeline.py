@@ -51,22 +51,3 @@ class Prefetcher:
             yield item
         if self._error is not None:
             raise self._error
-
-
-def double_buffer(it: Iterator, put_fn: Callable = None) -> Iterator:
-    """Keep one batch in flight ahead of the consumer.
-
-    ``put_fn`` (e.g. a sharded jax.device_put) is applied to each item as
-    soon as the previous one is handed out, overlapping the host->HBM
-    transfer with the device step (replaces the reference's synchronous
-    feed_dict at main.py:286-294).
-    """
-    put_fn = put_fn or (lambda x: x)
-    pending = None
-    for item in it:
-        item = put_fn(item)
-        if pending is not None:
-            yield pending
-        pending = item
-    if pending is not None:
-        yield pending

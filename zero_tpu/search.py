@@ -19,7 +19,6 @@ TPU re-design vs the reference:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -374,15 +373,3 @@ def ib_beam_search(params, source, inference, cfg,
     seqs = jnp.where(never[:, None, None], final.alive_seq, final.fin_seq)
     scores = jnp.where(never[:, None], final.alive_scores, final.fin_scores)
     return {"seq": seqs, "score": scores}
-
-
-def make_beam_search_fn(inference, cfg):
-    """A jitted beam-search callable (params, source, rng) -> outputs.
-
-    Compiles once per padded source shape (shape bucketing in the data
-    pipeline bounds the variant count).
-    """
-    @partial(jax.jit, static_argnames=())
-    def run(params, source, rng=None):
-        return beam_search(params, source, inference, cfg, rng)
-    return run
