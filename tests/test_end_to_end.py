@@ -144,3 +144,19 @@ def test_ensemble_of_same_model(copy_task, trained_dir):
     params = _params(copy_task, trained_dir)
     bleu = graph.ensemble([params, params])
     assert bleu > 0.5
+
+
+@pytest.mark.parametrize("model_name", ["transformer_aan", "transformer_fuse"])
+def test_variant_models_learn_copy_task(copy_task, tmp_path, model_name):
+    """Full driver train -> eval for model variants (smaller budget)."""
+    out = tmp_path / ("out_" + model_name)
+    params = _params(copy_task, out, model_name=model_name,
+                     scope_name=model_name, max_training_steps=700,
+                     eval_freq=100000, save_freq=700, disp_freq=350)
+    save_parameters(params, params.output_dir)
+    params = cli.setup_recorder(params)
+    graph.train(params)
+    eval_params = _params(copy_task, out, model_name=model_name,
+                          scope_name=model_name)
+    bleu = graph.evaluate(eval_params)
+    assert bleu > 0.5, (model_name, bleu)
