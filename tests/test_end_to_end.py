@@ -160,3 +160,13 @@ def test_variant_models_learn_copy_task(copy_task, tmp_path, model_name):
                           scope_name=model_name)
     bleu = graph.evaluate(eval_params)
     assert bleu > 0.5, (model_name, bleu)
+
+
+def test_checkpoint_averaging_then_evaluate(copy_task, trained_dir, tmp_path):
+    """Offline checkpoint averaging -> decode from the averaged model."""
+    from zero_tpu.scripts.checkpoint_averaging import average_checkpoints
+    avg_dir = tmp_path / "avg"
+    average_checkpoints(str(trained_dir), str(avg_dir), checkpoints=3)
+    params = _params(copy_task, avg_dir)
+    bleu = graph.evaluate(params)
+    assert bleu > 0.5, bleu
