@@ -295,6 +295,13 @@ def default_config() -> Config:
         dtype_inf=1e8,
         loss_scale=1.0,            # unused on TPU bf16; kept for compat
 
+        # static-k compacted decode for L0Drop/AFS eval: gather the top
+        # ceil(ratio*S) surviving positions into a shorter memory with a
+        # count-carrying zero pad slot (the reference's extract_encodes,
+        # transformer_l0drop.py:103-135, with a static k). 0 disables
+        # (full-length zero-vector equivalence).
+        l0_compact_ratio=0.0,
+
         # -- l0drop (run.py:234-238)
         l0_norm_reg_scalar=1.0,
         l0_norm_start_reg_ramp_up=0,

@@ -73,7 +73,8 @@ def dec_layer_train(p, x, state, self_keep, mem_keep, cfg, rngs, tgt_mask):
                              cfg.num_heads, rng=rngs(),
                              drop=cfg.attention_dropout,
                              use_flash=cfg.use_flash_attention,
-                             pad_mask=mem_keep[:, 0, 0, :])["output"]
+                             pad_mask=mem_keep[:, 0, 0, :],
+                             count_weights=state.get("count"))["output"]
     x = nn.layer_norm(p["ln2"],
                       nn.residual_fn(x, y, rngs(), cfg.residual_dropout))
     y = nn.ffn(p["ffn"], x, rngs(), cfg.relu_dropout)
@@ -95,7 +96,8 @@ def dec_layer_step(p, x_t, layer_state, state, cache, time, cfg):
                                         cfg.num_heads)
     x_t = nn.layer_norm(p["ln1"], x_t + y)
     y, _ = attention.cross_attn_step(p["cross"], x_t, layer_state,
-                                     state["mask"], cfg.num_heads)
+                                     state["mask"], cfg.num_heads,
+                                     count_weights=state.get("count"))
     x_t = nn.layer_norm(p["ln2"], x_t + y)
     y = nn.ffn(p["ffn"], x_t)
     x_t = nn.layer_norm(p["ln3"], x_t + y)

@@ -144,12 +144,14 @@ def _afs_gate(params, x, mask, cfg, rngs, training):
     if training:
         # attend only to surviving frames (L0Drop semantics)
         new_mask = (g_t[..., 0] > 0).astype(mask.dtype) * mask
+        keep_score = None
     else:
         # zero-vector equivalence; mask unchanged
         x = x * ((g_t[..., 0] > 0).astype(x.dtype)
                  * maskf.astype(x.dtype))[..., None]
         new_mask = mask
-    return x, new_mask, penalty
+        keep_score = g_t[..., 0].astype(jnp.float32) * maskf
+    return x, new_mask, penalty, keep_score
 
 
 def _st_encode(params, x, mask, cfg, rngs):
@@ -163,8 +165,8 @@ def _encode(params, audio, mask, cfg, rngs, training,
             context=None, context_mask=None):
     x, mask = _frontend(params, audio, mask, cfg, rngs, training)
     asr_out = _asr_encode(params, x, mask, cfg, rngs)
-    gated, st_mask, penalty = _afs_gate(params, asr_out, mask, cfg, rngs,
-                                        training)
+    gated, st_mask, penalty, keep_score = _afs_gate(params, asr_out, mask,
+                                                    cfg, rngs, training)
     if cfg.st_context and context is not None:
         # context-aware ST (docs/context_aware_st): run the previous
         # segment through the shared frontend/ASR/AFS stack and prepend
@@ -172,13 +174,28 @@ def _encode(params, audio, mask, cfg, rngs, training,
         cx, cmask = _frontend(params, context, context_mask, cfg, rngs,
                               training)
         c_asr = _asr_encode(params, cx, cmask, cfg, rngs)
-        c_gated, c_st_mask, _ = _afs_gate(params, c_asr, cmask, cfg, rngs,
-                                          training)
+        c_gated, c_st_mask, _, c_score = _afs_gate(params, c_asr, cmask, cfg,
+                                                   rngs, training)
         gated = jnp.concatenate([c_gated, gated], axis=1)
         st_mask = jnp.concatenate([c_st_mask, st_mask], axis=1)
+        if keep_score is not None:
+            keep_score = jnp.concatenate([c_score, keep_score], axis=1)
+
+    count = None
+    if not training and cfg.l0_compact_ratio > 0:
+        # static-k compaction BEFORE the ST encoder: this is where the
+        # reference's ~1.4x AFS decode speedup comes from (shorter ST
+        # encoder + decoder memory)
+        from zero_tpu.models.transformer_l0drop import compact_encodings
+        gated, st_mask, count = compact_encodings(
+            gated, st_mask, keep_score, cfg.l0_compact_ratio)
+
     encodes = _st_encode(params, gated, st_mask, cfg, rngs)
-    return {"encodes": encodes, "mask": st_mask, "asr_out": asr_out,
-            "asr_mask": mask, "afs_penalty": penalty}
+    state = {"encodes": encodes, "mask": st_mask, "asr_out": asr_out,
+             "asr_mask": mask, "afs_penalty": penalty}
+    if count is not None:
+        state["count"] = count
+    return state
 
 
 def _decode_train(params, target, state, cfg, rngs, training):

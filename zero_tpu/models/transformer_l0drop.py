@@ -30,6 +30,41 @@ from zero_tpu.models.base import model_register
 from zero_tpu.ops import l0norm, nn
 
 
+def compact_encodings(encodes, mask, keep_score, ratio: float):
+    """Static-k eval-time compaction (the reference's extract_encodes,
+    transformer_l0drop.py:103-135, with a STATIC k for XLA).
+
+    Gathers the top ceil(ratio*S) positions by keep_score (>0 survivors)
+    into a shorter memory headed by a ZERO pad slot whose softmax count
+    equals the number of positions left out -- so the count-renormalised
+    attention equals full-length attention with dropped encodings zeroed.
+    Returns (memory [B, k+1, d], mask [B, k+1], count [B, k+1]).
+    Exact when k >= the survivor count; excess survivors fold into the
+    pad slot (approximated as zero vectors).
+    """
+    import math
+    s_len = mask.shape[1]
+    k = min(max(int(math.ceil(s_len * ratio)), 1), s_len)
+
+    score = keep_score * mask
+    top_vals, top_idx = jax.lax.top_k(score, k)
+    g_x = jnp.take_along_axis(encodes, top_idx[..., None], axis=1)
+    g_mask = (top_vals > 0).astype(mask.dtype)
+    g_x = g_x * g_mask[..., None].astype(encodes.dtype)
+
+    kept = jnp.sum(g_mask, axis=1)
+    total = jnp.sum(mask, axis=1)
+    dropped = jnp.maximum(total - kept, 0.0)
+    pad_flag = (dropped > 0).astype(mask.dtype)
+
+    memory = jnp.concatenate(
+        [jnp.zeros_like(g_x[:, :1]), g_x], axis=1)
+    new_mask = jnp.concatenate([pad_flag[:, None], g_mask], axis=1)
+    count = jnp.concatenate(
+        [jnp.maximum(dropped, 1.0)[:, None], jnp.ones_like(g_mask)], axis=1)
+    return memory, new_mask, count
+
+
 def extra_init(key, cfg):
     init = common.config_initializer(cfg)
     return {"source_pruning": nn.init_linear(key, cfg.hidden_size, 1,
@@ -62,7 +97,13 @@ def post_encode(params, state, cfg, rngs, training):
         # memory + count-renormalised softmax (see module docstring)
         gated = encodes * (gates.astype(encodes.dtype) * keep) \
             * mask[..., None].astype(encodes.dtype)
-        state = dict(state, encodes=gated)
+        if cfg.l0_compact_ratio > 0:
+            memory, new_mask, count = compact_encodings(
+                gated, mask, gates[..., 0].astype(mask.dtype),
+                cfg.l0_compact_ratio)
+            state = dict(state, encodes=memory, mask=new_mask, count=count)
+        else:
+            state = dict(state, encodes=gated)
     return state
 
 

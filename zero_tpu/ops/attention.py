@@ -183,7 +183,8 @@ def gated_rms_norm(params, x, eps: float = 1e-8):
 def attn_train(params, query, memory, keep_mask, num_heads, *,
                rng=None, drop=None, fuse_weight=None,
                rpr_tables=None, max_relative_position=None,
-               relu=False, use_flash=False, causal=False, pad_mask=None):
+               relu=False, use_flash=False, causal=False, pad_mask=None,
+               count_weights=None):
     """Full-sequence attention.
 
     memory=None -> self-attention via the fused qkv projection.
@@ -205,6 +206,7 @@ def attn_train(params, query, memory, keep_mask, num_heads, *,
         v = nn.linear(params["v"], memory)
 
     flash_ok = (use_flash and not relu and rpr_tables is None
+                and count_weights is None
                 and kernels_supported(q.shape[1], k.shape[1]))
     if flash_ok:
         from zero_tpu.ops.kernels import fused_attention
@@ -224,7 +226,8 @@ def attn_train(params, query, memory, keep_mask, num_heads, *,
 
         o, weights = _attn_core(q, k, v, keep_mask, num_heads, rng=rng,
                                 drop=drop, rpr_tables=rpr_tables,
-                                rpr_ids=rpr_ids, relu=relu)
+                                rpr_ids=rpr_ids, relu=relu,
+                                count_weights=count_weights)
 
     if relu and "post" in params:
         o = gated_rms_norm(params["post"], o)
