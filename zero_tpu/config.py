@@ -267,6 +267,10 @@ def default_config() -> Config:
         data_leak_ratio=0.5,
         deep_transformer_init=False,
 
+        # persistent XLA compilation cache: recompiles across processes
+        # become disk hits (empty string disables)
+        compilation_cache_dir="~/.cache/zero_tpu_xla",
+
         # rematerialisation: recompute transformer layers in the backward
         # pass (jax.checkpoint) to fit deep/large models in HBM
         use_remat=False,

@@ -56,6 +56,22 @@ def print_parameters(params):
         log.info("%s\t%s", str(k).ljust(30), str(v))
 
 
+def setup_compilation_cache(params):
+    """Enable JAX's persistent compilation cache so identical programs
+    compile once across runs (every distinct jitted shape costs a TPU
+    compile otherwise)."""
+    cache_dir = getattr(params, "compilation_cache_dir", "")
+    if not cache_dir:
+        return
+    import jax
+
+    cache_dir = os.path.expanduser(cache_dir)
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    log.info("XLA compilation cache: %s", cache_dir)
+
+
 def load_vocabs(params):
     start = time.time()
     params.src_vocab = Vocab(params.src_vocab_file)
@@ -106,6 +122,7 @@ def main(argv=None):
 
     params = load_vocabs(params)
     print_parameters(params)
+    setup_compilation_cache(params)
 
     if args.mode == "train":
         save_parameters(params, params.output_dir)
