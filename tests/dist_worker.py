@@ -1,0 +1,77 @@
+"""Worker process for the multi-host integration test (run via subprocess).
+
+Usage: python tests/dist_worker.py <coordinator> <nproc> <pid> <data_dir>
+Each process owns 4 virtual CPU devices; the job trains the tiny copy
+task for a few steps with 8-way global data parallelism across 2 hosts.
+"""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    coordinator, nproc, pid, data_dir = sys.argv[1:5]
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    from zero_tpu import run as cli
+    from zero_tpu import train as graph
+    from zero_tpu.config import default_config, save_parameters
+    from zero_tpu.parallel import distributed as dist
+    from zero_tpu.vocab import Vocab
+
+    p = default_config()
+    p.dist_coordinator = coordinator
+    p.dist_num_processes = int(nproc)
+    p.dist_process_id = int(pid)
+    dist.maybe_initialize(p)
+    assert jax.process_count() == int(nproc)
+    assert jax.device_count() == 4 * int(nproc)
+
+    p.model_name = "transformer"
+    p.scope_name = "transformer"
+    p.hidden_size = 32
+    p.embed_size = 32
+    p.filter_size = 64
+    p.num_heads = 2
+    p.num_encoder_layer = 1
+    p.num_decoder_layer = 1
+    p.dropout = p.relu_dropout = p.residual_dropout = p.attention_dropout = 0.0
+    p.max_len = 16
+    p.batch_or_token = "batch"
+    p.batch_size = 8
+    p.lrate = 3e-3
+    p.lrate_strategy = "vanilla"
+    p.max_training_steps = 12
+    p.disp_freq = 4
+    p.save_freq = 12
+    p.eval_freq = 0
+    p.sample_freq = 0
+    p.epoches = 50
+    p.compilation_cache_dir = ""
+    p.src_vocab_file = os.path.join(data_dir, "vocab.txt")
+    p.tgt_vocab_file = os.path.join(data_dir, "vocab.txt")
+    p.src_train_file = os.path.join(data_dir, "train.src")
+    p.tgt_train_file = os.path.join(data_dir, "train.tgt")
+    p.src_dev_file = ""
+    p.tgt_dev_file = ""
+    p.src_test_file = ""
+    p.tgt_test_file = ""
+    p.output_dir = os.path.join(data_dir, "out")
+    p.src_vocab = Vocab(p.src_vocab_file)
+    p.tgt_vocab = Vocab(p.tgt_vocab_file)
+
+    if dist.is_primary():
+        save_parameters(p, p.output_dir)
+    p = cli.setup_recorder(p)
+    graph.train(p)
+    print("WORKER_OK pid=%s step=%d" % (pid, p.recorder.step))
+
+
+if __name__ == "__main__":
+    main()

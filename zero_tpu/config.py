@@ -260,6 +260,11 @@ def default_config() -> Config:
         # -1 for data = use all remaining devices
         mesh_data=-1,
         mesh_model=1,
+        # multi-host training (jax.distributed): coordinator "host:port";
+        # empty = single process. The reference has no multi-node support.
+        dist_coordinator="",
+        dist_num_processes=1,
+        dist_process_id=0,
 
         safe_nan=False,
         dl4mt_redict=True,

@@ -120,6 +120,10 @@ def main(argv=None):
     random.seed(params.random_seed)
     np.random.seed(params.random_seed)
 
+    # multi-host: connect processes before any backend/device usage
+    from zero_tpu.parallel import distributed as dist
+    dist.maybe_initialize(params)
+
     params = load_vocabs(params)
     print_parameters(params)
     setup_compilation_cache(params)

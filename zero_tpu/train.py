@@ -25,6 +25,7 @@ from zero_tpu.data import Dataset
 from zero_tpu.models.base import get_model
 from zero_tpu.parallel import (batch_sharding, init_train_state, make_mesh,
                                make_train_step, stack_microbatches)
+from zero_tpu.parallel import distributed as dist
 from zero_tpu.parallel.train_step import make_score_step
 from zero_tpu.pipeline import Prefetcher
 from zero_tpu.saver import Saver
@@ -147,13 +148,29 @@ def _dev_eval(params, decode, weights, dev_dataset, out_prefix: str):
 
 def train(params) -> bool:
     model = get_model(params.model_name)
+    nproc = dist.process_count()
+    pid = dist.process_index()
+    if nproc > 1:
+        # multi-host batches must be shape-identical across hosts: force
+        # fully fixed shapes, and restrict to the train step (in-training
+        # eval/sampling need a separate single-host run on the checkpoint)
+        if params.batch_or_token != "batch":
+            raise ValueError("multi-host training requires "
+                             "batch_or_token='batch' (fixed shapes)")
+        params.pad_seq_multiple = params.max_len
+        params.pad_batch_multiple = params.batch_size
+        if params.eval_freq > 0 or params.sample_freq > 0:
+            log.warning("multi-host: in-training eval/sampling disabled; "
+                        "evaluate checkpoints with a single-host run")
+            params.eval_freq = 0
+            params.sample_freq = 0
     mesh = make_mesh(params)
     log.info("Mesh: %s", mesh)
     data_par = int(mesh.shape["data"])
 
     train_dataset = _make_dataset(params, params.src_train_file,
                                   params.tgt_train_file, train=True,
-                                  data_par=data_par)
+                                  data_par=max(data_par // max(nproc, 1), 1))
     dev_dataset = _make_dataset(params, params.src_dev_file,
                                 params.tgt_dev_file, train=False)
 
@@ -214,6 +231,10 @@ def train(params) -> bool:
             # mid-epoch resume: skip already-consumed batches (main.py:257-264)
             if epoch == recorder.epoch and lidx <= recorder.lidx:
                 continue
+            # multi-host data parallelism: each process takes every
+            # nproc-th batch (the global batch is the concatenation)
+            if nproc > 1 and lidx % nproc != pid:
+                continue
 
             micro_group.append(batch)
             if len(micro_group) < cycle:
@@ -228,8 +249,7 @@ def train(params) -> bool:
             token_count = int(sum((b["tgt"] > 0).sum() for b in micro_group))
             shapes = [tuple(b["src"].shape) for b in micro_group]
             micro_group = []
-            device_batch = jax.device_put(
-                stacked, batch_sharding(stacked, mesh, batch_axis=1))
+            device_batch = dist.put_global_batch(stacked, mesh, batch_axis=1)
 
             if params.profiler_dir and step == params.profiler_start_step:
                 jax.profiler.start_trace(params.profiler_dir)
@@ -267,7 +287,8 @@ def train(params) -> bool:
             recorder.lrate = float(lr)
             recorder.epoch = epoch
 
-            if params.save_freq > 0 and step % params.save_freq == 0:
+            if params.save_freq > 0 and step % params.save_freq == 0 \
+                    and dist.is_primary():
                 saver.save({"params": state.params, "opt": state.opt_state,
                             "ema": state.ema}, step)
                 recorder.save_to_json(
@@ -313,10 +334,11 @@ def train(params) -> bool:
 
     # final save + eval (main.py:441-466)
     step = int(state.step)
-    saver.save({"params": state.params, "opt": state.opt_state,
-                "ema": state.ema}, step)
-    recorder.save_to_json(os.path.join(params.output_dir, "record.json"))
-    if params.src_dev_file:
+    if dist.is_primary():
+        saver.save({"params": state.params, "opt": state.opt_state,
+                    "ema": state.ema}, step)
+        recorder.save_to_json(os.path.join(params.output_dir, "record.json"))
+    if params.src_dev_file and nproc == 1:
         bleu, _ = _dev_eval(params, decode, _eval_weights(params, state),
                             dev_dataset,
                             os.path.join(params.output_dir, "trans.txt"))
