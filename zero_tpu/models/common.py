@@ -25,7 +25,7 @@ Semantics preserved from the reference base model (models/transformer.py):
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,12 +9,10 @@ depth-scaled init for deep stacks (transformer.py:37-44).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from zero_tpu.models import common
 from zero_tpu.models.base import model_register
 from zero_tpu.ops import attention, nn
-from zero_tpu.ops.common import dropout
 
 
 def init_enc_layer(key, cfg, layer):

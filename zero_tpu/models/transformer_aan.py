@@ -15,7 +15,6 @@ import jax.numpy as jnp
 from zero_tpu.models import common, transformer as base
 from zero_tpu.models.base import model_register
 from zero_tpu.ops import attention, nn
-from zero_tpu.ops.common import dropout
 
 
 def init_dec_layer(key, cfg, layer):

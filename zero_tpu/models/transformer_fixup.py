@@ -15,7 +15,6 @@ import jax
 from zero_tpu.models import common
 from zero_tpu.models.base import model_register
 from zero_tpu.ops import attention, fixup, nn
-from zero_tpu.ops.common import dropout
 
 
 def _numblocks(cfg):

@@ -38,8 +38,7 @@ from zero_tpu import dtypes
 from zero_tpu.models import common, transformer as base
 from zero_tpu.models.base import model_register
 from zero_tpu.ops import nn
-from zero_tpu.ops.common import (RngGen, dropout, label_smooth_loss,
-                                 log_prob_from_logits)
+from zero_tpu.ops.common import RngGen, dropout, label_smooth_loss
 
 F32_MIN = jnp.finfo(jnp.float32).min
 

@@ -16,7 +16,6 @@ Replaces the reference's tower graphs + feed_dict + cycle ops
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, NamedTuple, Optional
 
 import jax

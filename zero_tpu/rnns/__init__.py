@@ -15,7 +15,7 @@ Each cell is a CellDef of pure functions over a param dict.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

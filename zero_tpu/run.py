@@ -12,7 +12,6 @@ are JSON or python dict literals, parsed safely (no eval).
 from __future__ import annotations
 
 import argparse
-import copy
 import logging
 import os
 import random
@@ -21,8 +20,7 @@ import time
 import numpy as np
 
 from zero_tpu import train as graph
-from zero_tpu.config import (default_config, load_config_file, merge_params,
-                             save_parameters)
+from zero_tpu.config import default_config, merge_params, save_parameters
 from zero_tpu.recorder import Recorder
 from zero_tpu.vocab import Vocab
 

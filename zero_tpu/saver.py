@@ -20,7 +20,7 @@ import json
 import logging
 import os
 import shutil
-from typing import Any, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import numpy as np

@@ -13,7 +13,6 @@ Usage: python -m zero_tpu.scripts.checkpoint_averaging \
 from __future__ import annotations
 
 import argparse
-import json
 import os
 
 import numpy as np

@@ -14,8 +14,6 @@ from __future__ import annotations
 import logging
 import os
 import time
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -23,8 +21,8 @@ import numpy as np
 from zero_tpu import evalu, lrs
 from zero_tpu.data import Dataset
 from zero_tpu.models.base import get_model
-from zero_tpu.parallel import (batch_sharding, init_train_state, make_mesh,
-                               make_train_step, stack_microbatches)
+from zero_tpu.parallel import (init_train_state, make_mesh, make_train_step,
+                               stack_microbatches)
 from zero_tpu.parallel import distributed as dist
 from zero_tpu.parallel.train_step import make_score_step
 from zero_tpu.pipeline import Prefetcher
