@@ -71,3 +71,19 @@ def test_restore_no_checkpoint_returns_template(tmp_path):
     template = {"w": np.ones((2,), np.float32)}
     restored = s.restore({"params": template})["params"]
     np.testing.assert_allclose(restored["w"], 1.0)
+
+
+def test_async_save_and_restore(tmp_path):
+    """Async saves land on disk (serialised), restore waits for them."""
+    import jax.numpy as jnp
+    s = Saver(checkpoints=3, output_dir=str(tmp_path), async_save=True)
+    tree = {"w": jnp.ones((64, 64)), "b": jnp.zeros((8,))}
+    for step in [10, 20]:
+        s.save({"params": tree}, step, metric_score=float(step))
+    restored = s.restore({"params": {"w": np.zeros((64, 64), np.float32),
+                                     "b": np.ones((8,), np.float32)}})
+    np.testing.assert_allclose(restored["params"]["w"], 1.0)
+    np.testing.assert_allclose(restored["params"]["b"], 0.0)
+    s.wait()
+    assert _read_index(str(tmp_path)) == ["model-10", "model-20"]
+    assert s.best_score == 20.0

@@ -272,6 +272,10 @@ def default_config() -> Config:
         data_leak_ratio=0.5,
         deep_transformer_init=False,
 
+        # write checkpoints on a background thread over an on-device
+        # snapshot (the train loop never blocks on the device->host fetch)
+        async_checkpoint=True,
+
         # persistent XLA compilation cache: recompiles across processes
         # become disk hits (empty string disables)
         compilation_cache_dir="~/.cache/zero_tpu_xla",

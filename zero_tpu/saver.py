@@ -110,12 +110,18 @@ class Saver:
     """Latest-k + best-k checkpoint manager (reference utils/saver.py)."""
 
     def __init__(self, checkpoints: int = 5, output_dir: Optional[str] = None,
-                 best_score: float = -1.0, best_checkpoints: int = 1):
+                 best_score: float = -1.0, best_checkpoints: int = 1,
+                 async_save: bool = False):
         self.output_dir = output_dir or "./output"
         self.output_best_dir = os.path.join(self.output_dir, "best")
         self.max_keep = checkpoints
         self.best_checkpoints = best_checkpoints
         self.best_score = best_score
+        # async mode: the device->host fetch + npz write run on a worker
+        # thread over an ON-DEVICE SNAPSHOT (jnp.copy), so the training
+        # loop's donated buffers are never touched after save() returns
+        self.async_save = async_save
+        self._pending = None
 
         # resume best score from metric.log
         metric_path = os.path.join(self.output_best_dir, "metric.log")
@@ -133,9 +139,38 @@ class Saver:
                     name, score = line.strip().split("\t")
                     self.topk_scores.append((name, float(score)))
 
+    def wait(self) -> None:
+        """Block until a pending async save has finished."""
+        if self._pending is not None:
+            self._pending.join()
+            self._pending = None
+
     def save(self, state_trees: dict, step: int,
              metric_score: Optional[float] = None) -> None:
-        """state_trees: {'params': ..., 'opt': ..., 'ema': ..., 'extra': ...}"""
+        """state_trees: {'params': ..., 'opt': ..., 'ema': ..., 'extra': ...}
+
+        With async_save, bookkeeping happens inline but the device->host
+        fetch and file writes run on a worker thread over an on-device
+        snapshot; saves are serialised (at most one in flight)."""
+        if self.async_save:
+            import threading
+
+            import jax
+            import jax.numpy as jnp
+
+            self.wait()
+            snapshot = jax.tree.map(
+                lambda a: jnp.copy(a) if hasattr(a, "dtype") else a,
+                state_trees)
+            self._pending = threading.Thread(
+                target=self._save_sync, args=(snapshot, step, metric_score),
+                daemon=True)
+            self._pending.start()
+            return
+        self._save_sync(state_trees, step, metric_score)
+
+    def _save_sync(self, state_trees: dict, step: int,
+                   metric_score: Optional[float] = None) -> None:
         os.makedirs(self.output_dir, exist_ok=True)
         os.makedirs(self.output_best_dir, exist_ok=True)
 
@@ -190,6 +225,7 @@ class Saver:
         """Restore trees matching ``templates`` ({'params': tree, ...}) from
         the latest checkpoint in ``path`` or output_dir. Returns dict of
         restored trees (templates unchanged if no checkpoint found)."""
+        self.wait()
         ckpt = self.latest_path(path)
         if ckpt is None:
             log.warning("No existing model detected")

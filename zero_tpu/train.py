@@ -184,7 +184,8 @@ def train(params) -> bool:
 
     saver = Saver(checkpoints=params.checkpoints,
                   output_dir=params.output_dir,
-                  best_checkpoints=params.best_checkpoints)
+                  best_checkpoints=params.best_checkpoints,
+                  async_save=bool(getattr(params, "async_checkpoint", False)))
 
     # warm start from a pretrained model, then own dir (main.py:222-226)
     templates = {"params": state.params, "opt": state.opt_state,
@@ -343,6 +344,7 @@ def train(params) -> bool:
         log.info("Final BLEU %.4f at step %d", bleu, step)
         saver.save({"params": state.params, "opt": state.opt_state,
                     "ema": state.ema}, step, bleu)
+    saver.wait()
     log.info("Training finished at step %d", step)
     return True
 
