@@ -280,6 +280,13 @@ def default_config() -> Config:
         # become disk hits (empty string disables)
         compilation_cache_dir="~/.cache/zero_tpu_xla",
 
+        # stack per-layer params and lax.scan the transformer stacks during
+        # training: one layer body is traced/compiled instead of N (first
+        # compiles of 20-30L models drop from minutes to layer-count-free);
+        # decode stays unrolled (per-layer slices). Homogeneous-layer
+        # transformer-family models only. Changes the checkpoint layout.
+        scan_layers=False,
+
         # rematerialisation: recompute transformer layers in the backward
         # pass (jax.checkpoint) to fit deep/large models in HBM
         use_remat=False,

@@ -153,6 +153,9 @@ def make_transformer(hooks: LayerHooks, zero_softmax: bool = False,
     expected-L0 penalty); ``aux`` is whatever post_encode stashed in state.
     """
 
+    def _scan_layers(cfg):
+        return bool(getattr(cfg, "scan_layers", False))
+
     def init_fn(rng, cfg):
         params = init_embeddings(jax.random.fold_in(rng, 0), cfg, zero_softmax)
         params["encoder"] = [
@@ -161,6 +164,14 @@ def make_transformer(hooks: LayerHooks, zero_softmax: bool = False,
         params["decoder"] = [
             hooks.init_dec_layer(jax.random.fold_in(rng, 200 + l), cfg, l)
             for l in range(cfg.num_decoder_layer)]
+        if _scan_layers(cfg):
+            # stack per-layer trees into [L, ...] leaves so training can
+            # lax.scan over the stacks (values identical to the unrolled
+            # layout; decode slices layers back out)
+            params["encoder"] = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *params["encoder"])
+            params["decoder"] = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *params["decoder"])
         if hooks.init_enc_post is not None:
             params["enc_post"] = hooks.init_enc_post(
                 jax.random.fold_in(rng, 400), cfg)
@@ -195,6 +206,51 @@ def make_transformer(hooks: LayerHooks, zero_softmax: bool = False,
         return hooks.dec_layer_train(p, x, state, self_keep, mem_keep, cfg,
                                      lambda: next(it), tgt_mask)
 
+    def _stacked_keys(rngs, num_layers):
+        """[L, NKEYS, key] stacked dropout keys for scan bodies, or None
+        when the rng is inactive (eval/score: dropout no-op)."""
+        if rngs() is None:
+            return None
+        return jnp.stack([jnp.stack(_draw_keys(rngs))
+                          for _ in range(num_layers)])
+
+    def _layer_rngs(keys_l):
+        it = iter([keys_l[i] for i in range(_REMAT_KEYS)])
+        return lambda: next(it)
+
+    def _scan_stack(layer_fn, x, stacked_params, keys, use_remat):
+        """lax.scan ``layer_fn`` over stacked per-layer params.
+
+        layer_fn(p_l, x, rngs) -> x. Dropout keys are explicit scan inputs
+        so remat re-traces consume identical masks."""
+        if keys is not None:
+            def inner(p_l, x, keys_l):
+                return layer_fn(p_l, x, _layer_rngs(keys_l))
+            if use_remat:
+                inner = jax.checkpoint(inner)
+
+            def sb(carry, inp):
+                p_l, keys_l = inp
+                return inner(p_l, carry, keys_l), None
+            out, _ = jax.lax.scan(sb, x, (stacked_params, keys))
+        else:
+            def inner(p_l, x):
+                return layer_fn(p_l, x, lambda: None)
+            if use_remat:
+                inner = jax.checkpoint(inner)
+
+            def sb(carry, p_l):
+                return inner(p_l, carry), None
+            out, _ = jax.lax.scan(sb, x, stacked_params)
+        return out
+
+    def _layer_slices(stacked, num_layers):
+        """Per-layer views of a stacked params tree (decode paths)."""
+        if isinstance(stacked, list):
+            return stacked
+        return [jax.tree.map(lambda a: a[l], stacked)
+                for l in range(num_layers)]
+
     # -- encoder ------------------------------------------------------------
     def _encode(params, source, cfg, rngs, dtype, training):
         mask = (source != 0).astype(dtype)
@@ -204,11 +260,19 @@ def make_transformer(hooks: LayerHooks, zero_softmax: bool = False,
         x = dropout(rngs(), x, cfg.dropout if training else None)
 
         src_keep = nn.masking_mask(mask)
-        for p in params["encoder"]:
-            if _use_remat(cfg, training):
-                x = _enc_layer_remat(p, x, src_keep, _draw_keys(rngs), cfg)
-            else:
-                x = hooks.enc_layer(p, x, src_keep, cfg, rngs)
+        if _scan_layers(cfg):
+            keys = _stacked_keys(rngs, cfg.num_encoder_layer) \
+                if training else None
+            x = _scan_stack(
+                lambda p_l, h, r: hooks.enc_layer(p_l, h, src_keep, cfg, r),
+                x, params["encoder"], keys, _use_remat(cfg, training))
+        else:
+            for p in params["encoder"]:
+                if _use_remat(cfg, training):
+                    x = _enc_layer_remat(p, x, src_keep, _draw_keys(rngs),
+                                         cfg)
+                else:
+                    x = hooks.enc_layer(p, x, src_keep, cfg, rngs)
         if hooks.enc_post is not None:
             x = hooks.enc_post(params["enc_post"], x)
 
@@ -229,13 +293,21 @@ def make_transformer(hooks: LayerHooks, zero_softmax: bool = False,
         length = target.shape[1]
         self_keep = nn.causal_mask(length)
         mem_keep = nn.masking_mask(state["mask"])
-        for p in params["decoder"]:
-            if _use_remat(cfg, training):
-                x = _dec_layer_remat(p, x, state, self_keep, mem_keep, mask,
-                                     _draw_keys(rngs), cfg)
-            else:
-                x = hooks.dec_layer_train(p, x, state, self_keep, mem_keep,
-                                          cfg, rngs, mask)
+        if _scan_layers(cfg):
+            keys = _stacked_keys(rngs, cfg.num_decoder_layer) \
+                if training else None
+            x = _scan_stack(
+                lambda p_l, h, r: hooks.dec_layer_train(
+                    p_l, h, state, self_keep, mem_keep, cfg, r, mask),
+                x, params["decoder"], keys, _use_remat(cfg, training))
+        else:
+            for p in params["decoder"]:
+                if _use_remat(cfg, training):
+                    x = _dec_layer_remat(p, x, state, self_keep, mem_keep,
+                                         mask, _draw_keys(rngs), cfg)
+                else:
+                    x = hooks.dec_layer_train(p, x, state, self_keep,
+                                              mem_keep, cfg, rngs, mask)
         if hooks.dec_post is not None:
             x = hooks.dec_post(params["dec_post"], x)
         logits = output_logits(x, soft_table)
@@ -276,14 +348,16 @@ def make_transformer(hooks: LayerHooks, zero_softmax: bool = False,
             # per-layer beam-invariant decode state (cross mk/mv)
             state["layers"] = [
                 hooks.dec_layer_precompute(p, state["encodes"], cfg)
-                for p in cparams["decoder"]]
+                for p in _layer_slices(cparams["decoder"],
+                                       cfg.num_decoder_layer)]
             return state
 
         def init_cache(params, state, batch, max_len):
             return {
                 "layers": [hooks.init_dec_layer_cache(p, batch, max_len, cfg,
                                                       dtype)
-                           for p in params["decoder"]],
+                           for p in _layer_slices(params["decoder"],
+                                                  cfg.num_decoder_layer)],
             }
 
         def _embed_step(params, prev_tok, time):
@@ -301,8 +375,9 @@ def make_transformer(hooks: LayerHooks, zero_softmax: bool = False,
             _, _, soft_table = emb_tables(cparams, cfg, zero_softmax)
             x = _embed_step(cparams, prev_tok, time)
             new_layer_caches = []
-            for p, lstate, lcache in zip(cparams["decoder"], state["layers"],
-                                         cache["layers"]):
+            for p, lstate, lcache in zip(
+                    _layer_slices(cparams["decoder"], cfg.num_decoder_layer),
+                    state["layers"], cache["layers"]):
                 x, new_c = hooks.dec_layer_step(p, x, lstate, state, lcache,
                                                 time, cfg)
                 new_layer_caches.append(new_c)
@@ -325,7 +400,8 @@ def make_transformer(hooks: LayerHooks, zero_softmax: bool = False,
             self_keep = nn.causal_mask(length)
             mem_keep = nn.masking_mask(state["mask"])
             mask = jnp.ones_like(tgt_buffer).astype(dtype)
-            for p in cparams["decoder"]:
+            for p in _layer_slices(cparams["decoder"],
+                                   cfg.num_decoder_layer):
                 x = hooks.dec_layer_train(p, x, state, self_keep, mem_keep,
                                           cfg, rngs, mask)
             if hooks.dec_post is not None:

@@ -68,11 +68,14 @@ def spec_for_param(path: str, shape) -> P:
             continue
         module = comp
         break
-    if len(shape) == 2:
+    if len(shape) in (2, 3):
+        # 3D = scan_layers stacked weights [L, in, out]: shard the same
+        # trailing dims, layer dim replicated
+        lead = (None,) * (len(shape) - 2)
         if _COL_PAT.search(module):
-            return P(None, "model")
+            return P(*lead, None, "model")
         if _ROW_PAT.search(module):
-            return P("model", None)
+            return P(*lead, "model", None)
     if len(shape) == 1 and parts and parts[-1] != "b":
         return P()
     if len(shape) == 1 and _COL_PAT.search(module):
