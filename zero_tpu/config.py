@@ -343,6 +343,10 @@ def default_config() -> Config:
         # tags occupy vocab ids [lang_id_offset, lang_id_offset+num_languages)
         num_languages=2,
         lang_id_offset=3,
+        # random online backtranslation (robt.py): in-graph greedy
+        # back-translation through a uniformly random intermediate language
+        robt=False,
+        robt_weight=1.0,
         # CLSR (docs/conditional_language_specific_routing): budget p of
         # language-specific capacity + budget-loss weight
         clsr_budget=0.5,

@@ -15,7 +15,7 @@ side while the bulk of the model stays shared:
     [lang_id_offset, lang_id_offset + num_languages) in the shared vocab
 
 Random online backtranslation (ROBT, the paper's zero-shot training
-procedure) is a training-loop feature and is not included in this round.
+procedure) lives in zero_tpu/robt.py; enable with ``robt=True``.
 """
 
 from __future__ import annotations

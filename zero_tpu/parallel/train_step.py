@@ -99,9 +99,23 @@ def make_train_step(model, cfg, mesh=None, donate: bool = True):
     safe_nan = bool(cfg.safe_nan)
     gnorm_bound = float(cfg.gnorm_upper_bound)
 
+    robt_on = bool(getattr(cfg, "robt", False))
+    if robt_on:
+        from zero_tpu import robt as robt_lib
+        augment = robt_lib.make_augment(model, cfg)
+        robt_weight = float(getattr(cfg, "robt_weight", 1.0))
+
     def loss_fn(params, feats, rng, step):
-        out = model.train_fn(params, feats, cfg, rng, step=step)
-        return out["loss"]
+        if not robt_on:
+            return model.train_fn(params, feats, cfg, rng, step=step)["loss"]
+        # ROBT (robt.py): also train on the in-graph back-translated pair;
+        # final loss = weighted mean of the real and synthetic batches
+        r_main, r_bt, r_lang = jax.random.split(rng, 3)
+        loss = model.train_fn(params, feats, cfg, r_main, step=step)["loss"]
+        bt_feats = augment(params, feats, r_lang)
+        bt_loss = model.train_fn(params, bt_feats, cfg, r_bt,
+                                 step=step)["loss"]
+        return (loss + robt_weight * bt_loss) / (1.0 + robt_weight)
 
     def step_fn(state: TrainState, batch, lr, rng):
         params = state.params
