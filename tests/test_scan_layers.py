@@ -20,7 +20,17 @@ def _stack(layer_list):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *layer_list)
 
 
-@pytest.mark.parametrize("name", ["transformer", "transformer_fuse"])
+# every model built on the make_transformer hooks skeleton supports scan.
+# (transformer_l0drop is checked on its deterministic scoring path below:
+# its hard-concrete gate noise consumes the rng stream in a different
+# order under pre-drawn stacked keys, like remat, so train losses are
+# equal only in distribution.)
+SKELETON_MODELS = ["transformer", "transformer_fuse", "transformer_rpr",
+                   "transformer_aan", "transformer_rela",
+                   "transformer_fixup"]
+
+
+@pytest.mark.parametrize("name", SKELETON_MODELS)
 def test_scan_matches_unrolled_loss_and_grads(name):
     cfg_u = tiny_config(model_name=name, scan_layers=False, **NO_DROP)
     cfg_s = tiny_config(model_name=name, scan_layers=True, **NO_DROP)
@@ -46,6 +56,20 @@ def test_scan_matches_unrolled_loss_and_grads(name):
     for a, b in zip(jax.tree.leaves(gu_stacked), jax.tree.leaves(gs)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_scan_matches_unrolled_score_l0drop():
+    cfg_u = tiny_config(model_name="transformer_l0drop", scan_layers=False)
+    cfg_s = tiny_config(model_name="transformer_l0drop", scan_layers=True)
+    model = get_model("transformer_l0drop")
+    params_u = model.init_fn(jax.random.PRNGKey(0), cfg_u)
+    params_s = dict(params_u)
+    params_s["encoder"] = _stack(params_u["encoder"])
+    params_s["decoder"] = _stack(params_u["decoder"])
+    feats = {k: jnp.asarray(v) for k, v in toy_batch().items()}
+    su = np.asarray(model.score_fn(params_u, feats, cfg_u)["score"])
+    ss = np.asarray(model.score_fn(params_s, feats, cfg_s)["score"])
+    np.testing.assert_allclose(su, ss, rtol=1e-5, atol=1e-6)
 
 
 def test_scan_remat_matches():
