@@ -30,6 +30,15 @@ def make_mesh(cfg=None, data: Optional[int] = None,
     model = model or 1
     if data is None or data <= 0:
         data = len(devices) // model
+    if data <= 0 or len(devices) < data * model:
+        raise ValueError(
+            "make_mesh needs data*model = %s*%s = %s devices but only %d "
+            "are available on platform %r. Set mesh_data/mesh_model to fit "
+            "the hardware, or for a virtual multi-device CPU mesh set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N and "
+            "jax.config.update('jax_platforms', 'cpu') before first device "
+            "use." % (data, model, max(data, 0) * model, len(devices),
+                      devices[0].platform if devices else "?"))
     used = devices[:data * model]
     arr = np.asarray(used).reshape(data, model)
     return Mesh(arr, ("data", "model"))
