@@ -1,93 +1,396 @@
-"""Benchmark: transformer-base training throughput (tokens/sec/chip).
+"""Benchmark suite: the BASELINE.json configs on the available chip(s).
 
-Runs the full jitted train step (fwd+bwd+Adam, bf16 compute / fp32 params)
-on WMT-shaped synthetic batches on the available chip(s) and prints ONE
-JSON line:
+Prints ONE JSON line whose headline is transformer-base training
+throughput (tokens/s/chip), with MFU from an analytic FLOP count and the
+other configs (beam-4 decode, AAN decode, deep-20L fuse train, AFS speech
+train) under "configs". Full per-window detail goes to BENCH_DETAILS.json.
 
-  {"metric": "train_tokens_per_sec_per_chip", "value": N,
-   "unit": "tokens/s/chip", "vs_baseline": R}
+Measurement protocol (axon tunnel-aware; see CLAUDE.md):
+  * short dispatch windows closed by ONE scalar fetch that depends on the
+    whole chain (pnorm / decoded ids) -- per-step fetches would measure
+    tunnel RTT, and block_until_ready alone has unclear semantics there;
+  * every window's implied FLOP/s is checked against the device's peak:
+    windows above the roofline are measurement artifacts (r1 recorded
+    physically impossible 640k-1.25M tok/s this way) and are discarded;
+  * the headline is the MEDIAN of valid windows (best is in details).
 
 vs_baseline divides by 20000 tokens/s -- a representative TF1-era
-transformer-base per-GPU training throughput (the reference publishes no
-throughput numbers; BASELINE.md "no tokens/sec figures anywhere"), so R>1
-means faster than the TF1 baseline class.
+transformer-base per-GPU throughput (the reference publishes no
+throughput numbers; BASELINE.md "no tokens/sec figures anywhere").
 """
 
 from __future__ import annotations
 
 import json
+import os
+import statistics
 import time
 
-import jax
 import numpy as np
 
 BASELINE_TOKENS_PER_SEC = 20000.0
+# BENCH_SMOKE=1: tiny shapes / one window, for CI smoke tests of the
+# harness itself (numbers are meaningless in this mode)
+SMOKE = bool(int(os.environ.get("BENCH_SMOKE", "0")))
+WARMUP_STEPS = 2
+STEPS_PER_WINDOW = 2 if SMOKE else 12
+N_WINDOWS = 1 if SMOKE else 3
+TIME_BUDGET_S = 1800.0  # skip remaining configs past this
+
+# bf16 peak FLOP/s by TPU generation (public spec sheets)
+_PEAKS = (("v6", 918e12), ("v5p", 459e12), ("v5", 197e12), ("v4", 275e12))
 
 
-def main():
-    from __graft_entry__ import _base_config
+def device_peak_flops():
+    import jax
+
+    dev = jax.devices()[0]
+    if dev.platform != "tpu":
+        return None  # CPU fallback: no meaningful roofline
+    kind = getattr(dev, "device_kind", "").lower().replace(" ", "")
+    for tag, peak in _PEAKS:
+        if tag in kind:
+            return peak
+    return 197e12  # conservative default: v5e
+
+
+def transformer_train_flops(cfg, rows, src_len, tgt_len):
+    """Analytic fwd+bwd matmul FLOPs of one transformer train step.
+
+    Per-token forward cost: encoder layer = qkvo 8d^2 + attention 4*Ls*d +
+    FFN 4df; decoder layer adds cross-attn q,o 4d^2 + 4*Ls*d (k/v counted
+    once per source token); logits 2dV per target token. Backward ~= 2x
+    forward. All-dense synthetic batches make every token real.
+    """
+    d = cfg.hidden_size
+    f = cfg.filter_size
+    Le, Ld = cfg.num_encoder_layer, cfg.num_decoder_layer
+    V = cfg.src_vocab.size()
+    enc_tok = Le * (8 * d * d + 4 * src_len * d + 4 * d * f)
+    dec_tok = Ld * (8 * d * d + 4 * tgt_len * d + 4 * d * d
+                    + 4 * src_len * d + 4 * d * f)
+    dec_src_tok = Ld * (4 * d * d)
+    logits_tok = 2 * d * V
+    fwd = rows * (src_len * (enc_tok + dec_src_tok)
+                  + tgt_len * (dec_tok + logits_tok))
+    return 3.0 * fwd
+
+
+def _measure_windows(run_window, work_per_window, flops_per_work, peak):
+    """Time N_WINDOWS calls; drop windows whose implied FLOP/s exceeds the
+    roofline (tunnel artifacts). Returns (dict, valid) with work/s stats."""
+    windows = []
+    for _ in range(N_WINDOWS):
+        t0 = time.perf_counter()
+        run_window()
+        windows.append(time.perf_counter() - t0)
+    rates = [work_per_window / dt for dt in windows]
+    valid, dropped = [], []
+    for r in rates:
+        implied = r * (flops_per_work or 0.0)
+        if peak is not None and flops_per_work and implied > peak:
+            dropped.append(r)
+        else:
+            valid.append(r)
+    out = {
+        "windows_work_per_sec": [round(r, 1) for r in rates],
+        "dropped_above_roofline": [round(r, 1) for r in dropped],
+    }
+    if not valid:
+        out["error"] = "all %d windows above the roofline" % len(rates)
+        return out, None
+    med = statistics.median(valid)
+    out["median_work_per_sec"] = round(med, 1)
+    out["best_work_per_sec"] = round(max(valid), 1)
+    if peak is not None and flops_per_work:
+        out["mfu_median"] = round(med * flops_per_work / peak, 4)
+        out["mfu_best"] = round(max(valid) * flops_per_work / peak, 4)
+    return out, med
+
+
+def bench_train(cfg, rows, src_len, tgt_len, flops_per_step=None,
+                vocab_hi=None):
+    import jax
+
     from zero_tpu.models.base import get_model
     from zero_tpu.parallel import (batch_sharding, init_train_state,
                                    make_mesh, make_train_step)
 
     n_chips = len(jax.devices())
-    cfg = _base_config()
     cfg.mesh_model = 1
     cfg.mesh_data = n_chips
     mesh = make_mesh(cfg)
-
-    model = get_model("transformer")
+    model = get_model(cfg.model_name)
     state = init_train_state(model, cfg, jax.random.PRNGKey(0), mesh)
-    step_fn = make_train_step(model, cfg, mesh)
+    step_fn = make_train_step(model, cfg, mesh, donate=False)
 
-    # WMT-shaped batch: ~4096 target tokens per chip at length 64
-    batch_rows = 64 * n_chips
-    seq_len = 64
+    cycles = max(int(cfg.update_cycle), 1)
     rs = np.random.RandomState(0)
+    hi = vocab_hi or (cfg.src_vocab.size() - 1)
     batch = {
-        "source": rs.randint(3, 30000, (1, batch_rows, seq_len))
+        "source": rs.randint(3, hi, (cycles, rows * n_chips, src_len))
         .astype(np.int32),
-        "target": rs.randint(3, 30000, (1, batch_rows, seq_len))
+        "target": rs.randint(3, hi, (cycles, rows * n_chips, tgt_len))
         .astype(np.int32),
     }
-    device_batch = jax.device_put(
-        batch, batch_sharding(batch, mesh, batch_axis=1))
-    tokens_per_step = batch_rows * seq_len  # target tokens (all non-pad)
+    db = jax.device_put(batch, batch_sharding(batch, mesh, batch_axis=1))
+    rng = jax.random.PRNGKey(1)
+    tokens_per_step = cycles * rows * n_chips * tgt_len
 
+    t0 = time.perf_counter()
+    for i in range(WARMUP_STEPS):
+        state, metrics = step_fn(state, db, 1e-4, jax.random.fold_in(rng, i))
+    float(metrics["pnorm"])
+    compile_s = time.perf_counter() - t0
+
+    holder = {"state": state, "i": 0}
+
+    def run_window():
+        st = holder["state"]
+        for _ in range(STEPS_PER_WINDOW):
+            holder["i"] += 1
+            st, m = step_fn(st, db, 1e-4,
+                            jax.random.fold_in(rng, 100 + holder["i"]))
+        float(m["pnorm"])
+        holder["state"] = st
+
+    peak = device_peak_flops()
+    if flops_per_step is None:
+        flops_per_step = transformer_train_flops(cfg, rows * n_chips,
+                                                 src_len, tgt_len)
+    flops_per_token = flops_per_step / tokens_per_step
+    work_per_window = tokens_per_step * STEPS_PER_WINDOW
+    out, med = _measure_windows(run_window, work_per_window,
+                                flops_per_token, peak)
+    out.update({
+        "unit": "target-tokens/s",
+        "batch": [cycles, rows * n_chips, src_len],
+        "compile_plus_warmup_s": round(compile_s, 1),
+        "flops_per_step": flops_per_step,
+        "n_chips": n_chips,
+    })
+    if med is not None:
+        out["tokens_per_sec_per_chip"] = round(med / n_chips, 1)
+    return out
+
+
+def bench_decode(model_name, batch_rows=32, src_len=32):
+    """Beam-4 full-length decode sentences/sec (BASELINE.json north star)."""
+    import jax
+
+    from __graft_entry__ import _base_config
+    from zero_tpu.train import make_decode_fn
+
+    cfg = _base_config()
+    cfg.model_name = model_name
+    cfg.scope_name = model_name
+    cfg.beam_size = 4
+    cfg.decode_length = 50
+    cfg.decode_max_len = src_len + 50
+
+    from zero_tpu.models.base import get_model
+
+    model = get_model(model_name)
+    weights = model.init_fn(jax.random.PRNGKey(0), cfg)
+    decode = make_decode_fn(cfg, model)
+
+    rs = np.random.RandomState(0)
+    batch = {"src": rs.randint(3, 30000, (batch_rows, src_len))
+             .astype(np.int32)}
+
+    t0 = time.perf_counter()
+    out = decode(weights, batch)
+    np.asarray(out["seq"])
+    compile_s = time.perf_counter() - t0
+
+    calls_per_window = 2
+
+    def run_window():
+        o = None
+        for _ in range(calls_per_window):
+            o = decode(weights, batch)
+        np.asarray(o["seq"])  # forces the chain
+
+    out, med = _measure_windows(run_window, calls_per_window * batch_rows,
+                                None, None)
+    out.update({
+        "unit": "sentences/s",
+        "beam": 4,
+        "batch_rows": batch_rows,
+        "src_len": src_len,
+        "decode_steps": cfg.decode_max_len,
+        "compile_s": round(compile_s, 1),
+    })
+    if med is not None:
+        out["sentences_per_sec"] = round(med, 1)
+    return out
+
+
+def bench_deep20():
+    from zero_tpu.config import load_config_file
+    from __graft_entry__ import _base_config
+
+    cfg = _base_config()
+    cfg.override_from_dict({
+        k: v for k, v in load_config_file(
+            "configs/deep_transformer_fuse_l0drop.json").items()
+        if not k.startswith("_") and not k.endswith("_file")})
+    cfg.update_cycle = 1
+    # flops: fuse decoder = 2 sublayers (cross qkvo + aan + ffn); count the
+    # dominant matmuls with the same rules as the base formula
+    d, f = cfg.hidden_size, cfg.filter_size
+    Le, Ld = cfg.num_encoder_layer, cfg.num_decoder_layer
+    V = cfg.src_vocab.size()
+    rows, L = 64, 64
+    enc_tok = Le * (8 * d * d + 4 * L * d + 4 * d * f)
+    dec_tok = Ld * (8 * d * d + 8 * L * d + 4 * d * f)
+    fwd = rows * L * (enc_tok + dec_tok + 2 * d * V)
+    # remat recomputes the forward in the backward: 4x fwd, not 3x
+    flops = 4.0 * fwd
+    return bench_train(cfg, rows, L, L, flops_per_step=flops)
+
+
+def bench_afs_speech():
+    import jax
+
+    from zero_tpu.config import load_config_file
+    from __graft_entry__ import _base_config
+    from zero_tpu.models.base import get_model
+    from zero_tpu.parallel import (batch_sharding, init_train_state,
+                                   make_mesh, make_train_step)
+
+    cfg = _base_config(vocab_size=8000)
+    cfg.override_from_dict({
+        k: v for k, v in load_config_file(
+            "configs/speech_afs_mustc.json").items()
+        if not k.startswith("_") and not k.endswith("_file")})
+    cfg.update_cycle = 1
+    if jax.devices()[0].platform != "tpu":
+        cfg.use_flash_attention = False  # pallas kernel is TPU-only
+
+    n_chips = len(jax.devices())
+    cfg.mesh_model = 1
+    cfg.mesh_data = n_chips
+    mesh = make_mesh(cfg)
+    model = get_model(cfg.model_name)
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0), mesh)
+    step_fn = make_train_step(model, cfg, mesh, donate=False)
+
+    rows, frames, tgt_len = 8 * n_chips, 1024, 64
+    rs = np.random.RandomState(0)
+    batch = {
+        "audio": rs.randn(1, rows, frames, cfg.audio_num_mel_bins)
+        .astype(np.float32),
+        "audio_mask": np.ones((1, rows, frames), np.float32),
+        "target": rs.randint(3, 7000, (1, rows, tgt_len)).astype(np.int32),
+    }
+    if cfg.ctc_enable:
+        batch["transcript"] = rs.randint(
+            3, max(int(cfg.coarse_label_base), 10),
+            (1, rows, tgt_len)).astype(np.int32)
+    db = jax.device_put(batch, batch_sharding(batch, mesh, batch_axis=1))
     rng = jax.random.PRNGKey(1)
 
-    # warmup / compile; a scalar fetch forces the chain (the axon tunnel's
-    # block_until_ready semantics are unreliable, and per-step fetches
-    # would measure the ~0.3s tunnel RTT instead of compute)
-    for i in range(3):
-        state, metrics = step_fn(state, device_batch, 1e-4,
-                                 jax.random.fold_in(rng, i))
+    t0 = time.perf_counter()
+    for i in range(WARMUP_STEPS):
+        state, metrics = step_fn(state, db, 1e-4, jax.random.fold_in(rng, i))
     float(metrics["pnorm"])
+    compile_s = time.perf_counter() - t0
 
-    # best-of-3 measurement windows: the shared TPU backend shows large
-    # transient load variance; the fastest window is closest to the
-    # machine's actual capability
-    n_steps = 10
-    best = float("inf")
-    for window in range(3):
-        start = time.perf_counter()
-        for i in range(n_steps):
-            state, metrics = step_fn(state, device_batch, 1e-4,
-                                     jax.random.fold_in(rng, 100 + i))
-        # pnorm depends on every updated parameter of the final step:
-        # fetching it forces the full n_steps execution chain
-        float(metrics["pnorm"])
-        best = min(best, time.perf_counter() - start)
-    elapsed = best
+    holder = {"state": state, "i": 0}
 
-    tokens_per_sec = tokens_per_step * n_steps / elapsed
-    per_chip = tokens_per_sec / n_chips
-    print(json.dumps({
+    def run_window():
+        st = holder["state"]
+        for _ in range(STEPS_PER_WINDOW):
+            holder["i"] += 1
+            st, m = step_fn(st, db, 1e-4,
+                            jax.random.fold_in(rng, 100 + holder["i"]))
+        float(m["pnorm"])
+        holder["state"] = st
+
+    frames_per_window = rows * frames * STEPS_PER_WINDOW
+    out, med = _measure_windows(run_window, frames_per_window, None, None)
+    out.update({
+        "unit": "audio-frames/s",
+        "batch": [rows, frames, tgt_len],
+        "compile_plus_warmup_s": round(compile_s, 1),
+        "n_chips": n_chips,
+    })
+    if med is not None:
+        out["frames_per_sec_per_chip"] = round(med / n_chips, 1)
+    return out
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/zero_tpu_xla")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from __graft_entry__ import _base_config
+
+    started = time.perf_counter()
+    details = {"device": str(jax.devices()[0]),
+               "device_kind": getattr(jax.devices()[0], "device_kind", "?"),
+               "peak_flops": device_peak_flops(),
+               "configs": {}}
+
+    def run(name, fn):
+        if time.perf_counter() - started > TIME_BUDGET_S:
+            details["configs"][name] = {"skipped": "time budget exhausted"}
+            return
+        try:
+            details["configs"][name] = fn()
+        except Exception as e:  # record, keep benching the rest
+            details["configs"][name] = {"error": "%s: %s" % (
+                type(e).__name__, e)}
+
+    rows, L = (8, 16) if SMOKE else (256, 128)
+    # 1. headline: transformer-base train throughput at a realistic
+    #    WMT-scale step (BASELINE.json config 1)
+    run("transformer_base_train",
+        lambda: bench_train(_base_config(), rows=rows, src_len=L,
+                            tgt_len=L, vocab_hi=30000))
+    # 2. beam-4 decode (BASELINE.json north-star second metric)
+    run("transformer_base_decode_beam4",
+        lambda: bench_decode("transformer",
+                             batch_rows=4 if SMOKE else 32,
+                             src_len=8 if SMOKE else 32))
+    # 3. AAN O(1)-cache decode (reference README.md:32 headline claim)
+    run("transformer_aan_decode_beam4",
+        lambda: bench_decode("transformer_aan",
+                             batch_rows=4 if SMOKE else 32,
+                             src_len=8 if SMOKE else 32))
+    if not SMOKE:
+        # 4. deep 20L fuse + depth-scaled init (BASELINE.json config 4)
+        run("deep20_fuse_train", bench_deep20)
+        # 5. AFS speech translation preset (BASELINE.json config 5)
+        run("afs_speech_train", bench_afs_speech)
+
+    details["total_bench_s"] = round(time.perf_counter() - started, 1)
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(details, f, indent=1)
+
+    base = details["configs"].get("transformer_base_train", {})
+    per_chip = base.get("tokens_per_sec_per_chip")
+    line = {
         "metric": "train_tokens_per_sec_per_chip",
-        "value": round(per_chip, 1),
+        "value": per_chip,
         "unit": "tokens/s/chip",
-        "vs_baseline": round(per_chip / BASELINE_TOKENS_PER_SEC, 3),
-    }))
+        "vs_baseline": (round(per_chip / BASELINE_TOKENS_PER_SEC, 3)
+                        if per_chip else None),
+        "mfu": base.get("mfu_median"),
+        "decode_beam4_sentences_per_sec": details["configs"].get(
+            "transformer_base_decode_beam4", {}).get("sentences_per_sec"),
+        "configs": {k: {kk: vv for kk, vv in v.items()
+                        if kk in ("tokens_per_sec_per_chip", "mfu_median",
+                                  "sentences_per_sec",
+                                  "frames_per_sec_per_chip", "error",
+                                  "skipped")}
+                    for k, v in details["configs"].items()},
+    }
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -13,9 +13,42 @@ unique length on XLA).
 
 from __future__ import annotations
 
+import itertools
+import multiprocessing
+import sys
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+# ---------------------------------------------------------------------------
+# Parallel tokenisation workers (first-epoch vocab lookups are the host
+# pipeline bottleneck: ~0.5M tokens/s single-threaded and GIL-bound, so
+# threads cannot help -- fork worker processes like the reference's EnQueuer
+# (utils/queuer.py:36-113), but scoped to the pure-python tokenise step only;
+# everything stateful stays in the parent).
+# ---------------------------------------------------------------------------
+
+_TOK_STATE: dict = {}
+
+
+def _tok_init(src_vocab, tgt_vocab, max_len):
+    _TOK_STATE["sv"] = src_vocab
+    _TOK_STATE["tv"] = tgt_vocab
+    _TOK_STATE["ml"] = max_len
+
+
+def _tok_chunk(chunk):
+    sv, tv, ml = _TOK_STATE["sv"], _TOK_STATE["tv"], _TOK_STATE["ml"]
+    return [(sv.to_id(s.split()[:ml]), tv.to_id(t.split()[:ml]))
+            for s, t in chunk]
+
+
+def _chunked(it, n):
+    while True:
+        chunk = list(itertools.islice(it, n))
+        if not chunk:
+            return
+        yield chunk
 
 
 def batch_indexer(datasize: int, batch_size: int) -> List[List[int]]:
@@ -80,7 +113,8 @@ class Dataset:
                  pad_seq_multiple: int = 1,
                  pad_batch_multiple: int = 1,
                  pad_batch_to: int = 0,
-                 cache_ids: bool = True):
+                 cache_ids: bool = True,
+                 num_workers: int = 0):
         self.source = src_file
         self.target = tgt_file
         self.src_vocab = src_vocab
@@ -97,6 +131,9 @@ class Dataset:
         # host pipeline time (measured ~0.5M tokens/s tokenising vs >1M
         # device demand on v5e), and the reference re-tokenises every epoch
         self.cache_ids = cache_ids
+        # >1: tokenise with that many forked worker processes (reference
+        # process_num / utils/queuer.py); 0/1: in-process
+        self.num_workers = int(num_workers)
         self._id_cache: Optional[List[Tuple[List[int], List[int]]]] = None
 
         self.leak_buffer: List[Tuple[int, List[int], List[int]]] = []
@@ -110,6 +147,19 @@ class Dataset:
             yield from self._id_cache
             return
         collected = [] if self.cache_ids else None
+        if self.num_workers > 1 and sys.platform.startswith("linux"):
+            source = self._tokenize_parallel()
+        else:
+            source = self._tokenize_serial()
+        for pair in source:
+            if collected is not None:
+                collected.append(pair)
+            yield pair
+        if collected is not None:
+            self._id_cache = collected
+
+    def _raw_pairs(self) -> Iterator[Tuple[str, str]]:
+        """Stream stripped non-blank (src_line, tgt_line) string pairs."""
         with open(self.source) as src_reader, open(self.target) as tgt_reader:
             while True:
                 src_line = src_reader.readline()
@@ -120,13 +170,28 @@ class Dataset:
                 tgt_line = tgt_line.strip()
                 if src_line == "" or tgt_line == "":
                     continue
-                pair = (self.src_vocab.to_id(src_line.split()[:self.max_len]),
-                        self.tgt_vocab.to_id(tgt_line.split()[:self.max_len]))
-                if collected is not None:
-                    collected.append(pair)
-                yield pair
-        if collected is not None:
-            self._id_cache = collected
+                yield (src_line, tgt_line)
+
+    def _tokenize_serial(self):
+        for src_line, tgt_line in self._raw_pairs():
+            yield (self.src_vocab.to_id(src_line.split()[:self.max_len]),
+                   self.tgt_vocab.to_id(tgt_line.split()[:self.max_len]))
+
+    def _tokenize_parallel(self, chunk_lines: int = 2000):
+        """Tokenise with a fork pool; order-preserving, bounded lookahead.
+
+        fork (not spawn) so the vocab dicts ship by page sharing instead of
+        per-task pickling; workers run pure python only (no jax/device
+        state), which keeps the fork safe. imap preserves corpus order so
+        batching/resume semantics are byte-identical to the serial path.
+        """
+        ctx = multiprocessing.get_context("fork")
+        with ctx.Pool(self.num_workers, initializer=_tok_init,
+                      initargs=(self.src_vocab, self.tgt_vocab,
+                                self.max_len)) as pool:
+            chunks = _chunked(self._raw_pairs(), chunk_lines)
+            for out in pool.imap(_tok_chunk, chunks, chunksize=1):
+                yield from out
 
     def to_matrix(self, batch):
         """Pad a list of (idx, src_ids, tgt_ids) into int32 matrices.

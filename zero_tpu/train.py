@@ -71,7 +71,10 @@ def _make_dataset(params, src, tgt, train=True, data_par: int = 1):
                    pad_batch_multiple=bmult,
                    # eval batches all share one batch shape so the jitted
                    # beam search compiles once per sequence bucket
-                   pad_batch_to=0 if train else eval_rows)
+                   pad_batch_to=0 if train else eval_rows,
+                   # reference process_num: forked tokeniser workers for the
+                   # first (uncached) pass over the training corpus
+                   num_workers=params.process_num if train else 0)
 
 
 def _batch_source(params, batch):
@@ -209,12 +212,20 @@ def train(params) -> bool:
     cycle = max(int(params.update_cycle), 1)
     data_rng = jax.random.PRNGKey(params.random_seed + 7)
     should_stop = False
+    # host-side step mirror of state.step: fetching the device scalar every
+    # step would serialize dispatch through the host (the axon tunnel RTT
+    # makes that catastrophic); both are (re)set from the recorder on resume
+    step = int(recorder.step)
 
     for epoch in range(recorder.epoch, params.epoches + 1):
         log.info("Training at Epoch %d", epoch)
         adapt_lr.before_epoch(eidx=epoch)
 
-        queue = Prefetcher(
+        # resume point must be captured before the feed threads start:
+        # recorder.lidx mutates as steps complete
+        resume_epoch, resume_lidx = recorder.epoch, recorder.lidx
+
+        host_queue = Prefetcher(
             lambda: train_dataset.batcher(
                 params.batch_size if params.batch_or_token == "batch"
                 else params.token_size,
@@ -223,32 +234,42 @@ def train(params) -> bool:
             maxsize=params.output_queue_size,
             num_threads=max(params.process_num, 1))
 
-        micro_group = []
-        lidx = -1
-        for batch in queue:
-            lidx += 1
-            # mid-epoch resume: skip already-consumed batches (main.py:257-264)
-            if epoch == recorder.epoch and lidx <= recorder.lidx:
-                continue
-            # multi-host data parallelism: each process takes every
-            # nproc-th batch (the global batch is the concatenation)
-            if nproc > 1 and lidx % nproc != pid:
-                continue
+        def grouped_device_batches():
+            """update_cycle grouping + stacking + host->device transfer.
 
-            micro_group.append(batch)
-            if len(micro_group) < cycle:
-                continue
+            Runs on the feed thread so the device_put of the NEXT batch
+            overlaps the current step's execution (true double buffering;
+            PARITY §2.2)."""
+            micro_group = []
+            lidx = -1
+            for batch in host_queue:
+                lidx += 1
+                # mid-epoch resume: skip consumed batches (main.py:257-264)
+                if epoch == resume_epoch and lidx <= resume_lidx:
+                    continue
+                # multi-host data parallelism: each process takes every
+                # nproc-th batch (the global batch is the concatenation)
+                if nproc > 1 and lidx % nproc != pid:
+                    continue
+                micro_group.append(batch)
+                if len(micro_group) < cycle:
+                    continue
+                stacked = stack_microbatches(
+                    [_batch_features(params, b) for b in micro_group])
+                token_count = int(sum((b["tgt"] > 0).sum()
+                                      for b in micro_group))
+                shapes = [tuple(b["src"].shape) for b in micro_group]
+                sample_batch = micro_group[-1]
+                micro_group = []
+                device_batch = dist.put_global_batch(stacked, mesh,
+                                                     batch_axis=1)
+                yield device_batch, token_count, shapes, lidx, sample_batch
 
-            step = int(state.step)
+        feed = Prefetcher(grouped_device_batches, maxsize=2, num_threads=1)
+
+        for device_batch, token_count, shapes, lidx, batch in feed:
             adapt_lr.step(step)
             lr = adapt_lr.get_lr()
-
-            stacked = stack_microbatches(
-                [_batch_features(params, b) for b in micro_group])
-            token_count = int(sum((b["tgt"] > 0).sum() for b in micro_group))
-            shapes = [tuple(b["src"].shape) for b in micro_group]
-            micro_group = []
-            device_batch = dist.put_global_batch(stacked, mesh, batch_axis=1)
 
             if params.profiler_dir and step == params.profiler_start_step:
                 jax.profiler.start_trace(params.profiler_dir)
@@ -257,7 +278,7 @@ def train(params) -> bool:
             start_time = time.time()
             state, metrics = step_fn(state, device_batch, lr,
                                      jax.random.fold_in(data_rng, step))
-            step = int(state.step)
+            step += 1
 
             if params.profiler_dir and step == params.profiler_stop_step:
                 jax.block_until_ready(metrics["loss"])
@@ -325,6 +346,10 @@ def train(params) -> bool:
                 should_stop = True
                 break
 
+        # stop the feed threads promptly so an abandoned epoch (early stop,
+        # NaN abort, max steps) cannot keep consuming the dataset generator
+        feed.close()
+        host_queue.close()
         if recorder.estop or should_stop:
             break
         recorder.lidx = -1
