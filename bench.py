@@ -327,6 +327,9 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       "/root/.cache/zero_tpu_xla")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if jax.default_backend() == "tpu":
+        # hardware PRNG, same policy as run.py:setup_prng
+        jax.config.update("jax_default_prng_impl", "rbg")
 
     from __graft_entry__ import _base_config
 

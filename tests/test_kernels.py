@@ -89,3 +89,42 @@ def test_flash_model_path_matches_xla_path():
     l_x = float(model.train_fn(params, feats, cfg_x, jax.random.PRNGKey(1))["loss"])
     l_f = float(model.train_fn(params, feats, cfg_f, jax.random.PRNGKey(1))["loss"])
     assert abs(l_x - l_f) < 1e-4, (l_x, l_f)
+
+
+# -- streaming (k-blocked) kernel wrapper -------------------------------------
+
+from zero_tpu.ops.kernels import streaming_attention as sa_mod  # noqa: E402
+
+
+def test_streaming_attention_matches_reference():
+    B, H, L, D = 2, 2, 16, 8
+    q, k, v = _rand(1, B, H, L, D), _rand(2, B, H, L, D), _rand(3, B, H, L, D)
+    mask = jnp.ones((B, L)).at[0, 12:].set(0)
+    for causal in (False, True):
+        o1 = sa_mod.streaming_attention(q, k, v, mask, causal=causal)
+        o2 = _ref(q, k, v, mask, causal)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_attention_grads_match():
+    B, H, L, D = 1, 2, 8, 4
+    q, k, v = _rand(1, B, H, L, D), _rand(2, B, H, L, D), _rand(3, B, H, L, D)
+    mask = jnp.ones((B, L))
+    g1 = jax.grad(lambda q, k, v: jnp.sum(
+        sa_mod.streaming_attention(q, k, v, mask, causal=True) ** 2),
+        (0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda q, k, v: jnp.sum(
+        _ref(q, k, v, mask, True) ** 2), (0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_supported_past_fused_bound():
+    assert sa_mod.supported(4096, 16384)   # fused kernel's documented gap
+    assert sa_mod.supported(1024, 65536)
+    assert not sa_mod.supported(17, 16384)  # untileable q
+
+    from zero_tpu.ops.attention import kernels_supported
+    assert kernels_supported(4096, 16384)  # routed to the streaming kernel

@@ -294,3 +294,37 @@ def test_log_prob_from_logits():
     x = rand(30, 2, 5)
     lp = np.asarray(log_prob_from_logits(x))
     np.testing.assert_allclose(np.exp(lp).sum(-1), 1.0, rtol=1e-5)
+
+
+# -- dropout (8-bit masks) ----------------------------------------------------
+
+def test_dropout_unbiased_and_exact_scale():
+    from zero_tpu.ops.common import dropout
+
+    x = jnp.ones((512, 512), jnp.float32)
+    rate = 0.1
+    out = np.asarray(dropout(jax.random.PRNGKey(0), x, rate))
+    t = round((1.0 - rate) * 256)
+    # kept entries are exactly x * 256/t (the reciprocal of the quantised
+    # keep probability), dropped entries exactly 0
+    kept = out[out != 0.0]
+    np.testing.assert_allclose(kept, 256.0 / t, rtol=1e-6)
+    # empirical keep fraction matches the quantised keep prob
+    frac = kept.size / out.size
+    assert abs(frac - t / 256.0) < 0.01
+    # unbiased: E[out] == x
+    assert abs(out.mean() - 1.0) < 0.01
+
+
+def test_dropout_edges_and_noop():
+    from zero_tpu.ops.common import dropout
+
+    x = jnp.ones((8, 8), jnp.bfloat16)
+    assert dropout(None, x, 0.5) is x
+    assert dropout(jax.random.PRNGKey(0), x, 0.0) is x
+    assert dropout(jax.random.PRNGKey(0), x, None) is x
+    # rate too small to represent in 8 bits -> keep everything
+    out = dropout(jax.random.PRNGKey(0), x, 0.001)
+    np.testing.assert_array_equal(np.asarray(out), np.ones((8, 8)))
+    # dtype preserved
+    assert dropout(jax.random.PRNGKey(0), x, 0.3).dtype == jnp.bfloat16

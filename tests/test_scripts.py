@@ -74,3 +74,33 @@ def test_pos_translation_rate():
     assert p == 1.0 and r == 1.0
     p, r, f = evaluate(refs, trans, "VB", 1)
     assert p == 0.0 and r == 0.0
+
+
+# -- synth-MT generator -------------------------------------------------------
+
+def test_synth_mt_generator(tmp_path):
+    from zero_tpu.scripts.make_synth_mt import SynthMT, generate
+
+    out = str(tmp_path / "mt")
+    generate(out, n_train=200, n_dev=50, n_test=10, vocab_size=500, seed=3)
+    src = [l.split() for l in open(out + "/train.src")]
+    tgt = [l.split() for l in open(out + "/train.tgt")]
+    assert len(src) == len(tgt) == 200
+
+    # deterministic: regenerating gives identical text
+    out2 = str(tmp_path / "mt2")
+    generate(out2, n_train=200, n_dev=50, n_test=10, vocab_size=500, seed=3)
+    assert open(out + "/train.src").read() == open(out2 + "/train.src").read()
+    assert open(out + "/train.tgt").read() == open(out2 + "/train.tgt").read()
+
+    # the oracle transduction reproduces every target line
+    task = SynthMT(vocab_size=500, seed=3)
+    for s, t in zip(src, tgt):
+        ids = [int(w[1:]) for w in s]
+        assert task.translate(ids) == t
+        # global agreement marker
+        assert t[-1] == task.agree[len(ids) % 3]
+
+    # every target token is in the generated vocab
+    vocab = set(open(out + "/vocab.tgt").read().split())
+    assert all(w in vocab for line in tgt for w in line)

@@ -34,10 +34,13 @@ from zero_tpu.ops.common import dropout
 
 
 def kernels_supported(lq: int, lk: int) -> bool:
-    """Fused-kernel eligibility (deferred import keeps CPU paths light)."""
-    from zero_tpu.ops.kernels import fused_attention as fa_fn  # noqa: F401
-    from zero_tpu.ops.kernels.fused_attention import supported
-    return supported(lq, lk)
+    """Fused-kernel eligibility (deferred import keeps CPU paths light).
+
+    Lk <= 8192 uses the whole-KV-resident query-blocked kernel; longer
+    sequences stream K/V in blocks with online softmax."""
+    import zero_tpu.ops.kernels.fused_attention as fa_mod
+    import zero_tpu.ops.kernels.streaming_attention as sa_mod
+    return fa_mod.supported(lq, lk) or sa_mod.supported(lq, lk)
 
 
 # ---------------------------------------------------------------------------
@@ -209,13 +212,18 @@ def attn_train(params, query, memory, keep_mask, num_heads, *,
                 and count_weights is None
                 and kernels_supported(q.shape[1], k.shape[1]))
     if flash_ok:
-        from zero_tpu.ops.kernels import fused_attention
+        import zero_tpu.ops.kernels.fused_attention as fa_mod
+        import zero_tpu.ops.kernels.streaming_attention as sa_mod
         qh = split_heads(q, num_heads)
         kh = split_heads(k, num_heads)
         vh = split_heads(v, num_heads)
         drop_rate = float(drop) if (drop and rng is not None) else 0.0
-        o = fused_attention(qh, kh, vh, pad_mask, causal=causal,
-                            dropout_rate=drop_rate, rng=rng)
+        if fa_mod.supported(q.shape[1], k.shape[1]):
+            kernel = fa_mod.fused_attention
+        else:
+            kernel = sa_mod.streaming_attention
+        o = kernel(qh, kh, vh, pad_mask, causal=causal,
+                   dropout_rate=drop_rate, rng=rng)
         o = combine_heads(o.astype(q.dtype))
         weights = None
     else:

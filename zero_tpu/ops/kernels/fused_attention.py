@@ -297,6 +297,6 @@ def _xla_equivalent(q, k, v, pad_mask, causal, dropout_rate, rng):
         s = jnp.where((rows >= cols)[None, None], s, NEG_INF)
     w = jax.nn.softmax(s, axis=-1)
     if dropout_rate > 0.0 and rng is not None:
-        keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, w.shape)
-        w = jnp.where(keep, w / (1.0 - dropout_rate), 0.0)
+        from zero_tpu.ops.common import dropout as _drop
+        w = _drop(rng, w, dropout_rate)
     return jnp.einsum("bhqk,bhkd->bhqd", w.astype(q.dtype), v)

@@ -70,6 +70,22 @@ def setup_compilation_cache(params):
     log.info("XLA compilation cache: %s", cache_dir)
 
 
+def setup_prng(params):
+    """Pick the PRNG implementation. 'auto' (default) selects the
+    hardware rbg generator on TPU -- threefry bit generation is the
+    single largest non-matmul cost of a dropout-regularised train step
+    (measured 48% of a transformer-base step on v5e; rbg + 8-bit masks
+    recover nearly all of it) -- and keeps threefry elsewhere for
+    reproducible CPU tests."""
+    impl = str(getattr(params, "prng_impl", "auto"))
+    import jax
+
+    if impl == "auto":
+        impl = "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
+    jax.config.update("jax_default_prng_impl", impl)
+    log.info("PRNG implementation: %s", impl)
+
+
 def load_vocabs(params):
     start = time.time()
     params.src_vocab = Vocab(params.src_vocab_file)
@@ -125,6 +141,7 @@ def main(argv=None):
     params = load_vocabs(params)
     print_parameters(params)
     setup_compilation_cache(params)
+    setup_prng(params)
 
     if args.mode == "train":
         save_parameters(params, params.output_dir)
