@@ -128,3 +128,50 @@ def test_streaming_supported_past_fused_bound():
 
     from zero_tpu.ops.attention import kernels_supported
     assert kernels_supported(4096, 16384)  # routed to the streaming kernel
+
+
+# -- decode-step kernel (interpret mode on CPU) --------------------------------
+
+from zero_tpu.ops.kernels import decode_attention as da_mod  # noqa: E402
+
+
+def test_decode_attention_matches_reference():
+    B, H, T, D = 3, 4, 24, 16
+    hidden = H * D
+    q = _rand(1, B, 1, hidden)
+    k = _rand(2, B, T, hidden)
+    v = _rand(3, B, T, hidden)
+    for time in (0, 7, T - 1):
+        o = da_mod.decode_attention(q, k, v, time, H, interpret=True)
+        qh = q.reshape(B, 1, H, D).transpose(0, 2, 1, 3)
+        kh = k.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+        vh = v.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+        mask = (jnp.arange(T) <= time).astype(jnp.float32)
+        r = _ref(qh, kh, vh, jnp.broadcast_to(mask, (B, T)), causal=False)
+        r = r.transpose(0, 2, 1, 3).reshape(B, 1, hidden)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_decode_attention_supported_bounds():
+    assert da_mod.supported(1, 82, 512, 8)
+    assert da_mod.supported(1, 4096, 512, 8)     # speech-length cache
+    assert not da_mod.supported(2, 82, 512, 8)   # multi-position steps
+    assert not da_mod.supported(1, 8192, 512, 8)  # beyond VMEM residency
+
+
+def test_flash_decode_model_path_matches_xla_path():
+    """transformer beam decode with use_flash_decode on == off (on CPU the
+    wrapper falls back to XLA, so this pins the plumbing; the kernel math
+    is pinned by test_decode_attention_matches_reference in interpret
+    mode and by the cache==dev oracle on TPU)."""
+    from zero_tpu.train import make_decode_fn
+    cfg_x = tiny_config(model_name="transformer", use_flash_decode=False)
+    cfg_f = tiny_config(model_name="transformer", use_flash_decode=True)
+    model = get_model("transformer")
+    params = model.init_fn(jax.random.PRNGKey(0), cfg_x)
+    feats = {"src": jnp.asarray(toy_batch()["source"])}
+    o_x = make_decode_fn(cfg_x, model)(params, feats)
+    o_f = make_decode_fn(cfg_f, model)(params, feats)
+    np.testing.assert_array_equal(np.asarray(o_x["seq"]),
+                                  np.asarray(o_f["seq"]))

@@ -139,3 +139,39 @@ def test_id_cache_consistent_across_epochs(tmp_path, vocab):
     ds2 = Dataset(src, tgt, vocab, vocab, cache_ids=False)
     list(ds2.load_data())
     assert ds2._id_cache is None
+
+
+def test_token_mode_row_snapping_bounds_shapes():
+    """Token-budget batches snap row counts to the geometric ladder so the
+    number of distinct jit shapes stays O(log) (TPU compile discipline)."""
+    from zero_tpu.data import snap_rows_ladder
+    shapes = {snap_rows_ladder(n, 16) for n in range(1, 4096)}
+    assert len(shapes) < 25
+    for n in (1, 17, 300, 1500):
+        assert snap_rows_ladder(n, 16) >= n
+        assert snap_rows_ladder(n, 16) % 16 == 0
+    # batch mode unaffected: plain multiple snapping
+    from zero_tpu.data import round_up
+    assert round_up(130, 16) == 144
+
+
+def test_token_mode_dataset_yields_snapped_rows(tmp_path):
+    import numpy as np
+    from zero_tpu.data import Dataset, snap_rows_ladder
+    from tests.helpers import tiny_vocab
+    rs = np.random.RandomState(0)
+    src = tmp_path / "s.txt"; tgt = tmp_path / "t.txt"
+    with open(src, "w") as fs, open(tgt, "w") as ft:
+        for _ in range(400):
+            n = rs.randint(3, 14)
+            fs.write(" ".join("w%d" % rs.randint(0, 10) for _ in range(n)) + "\n")
+            ft.write(" ".join("w%d" % rs.randint(0, 10) for _ in range(n)) + "\n")
+    ds = Dataset(str(src), str(tgt), tiny_vocab(), tiny_vocab(),
+                 max_len=16, batch_or_token="token",
+                 pad_seq_multiple=8, pad_batch_multiple=16)
+    rows = set()
+    for b in ds.batcher(128, buffer_size=100, shuffle=False, train=True):
+        rows.add(b["src"].shape[0])
+        assert b["src"].shape[0] == snap_rows_ladder(
+            len(b["raw"]), 16) or b["src"].shape[0] >= len(b["raw"])
+    assert rows <= {snap_rows_ladder(n, 16) for n in range(1, 513)}

@@ -13,6 +13,7 @@ from __future__ import annotations
 import ast
 import copy
 import json
+import logging
 import os
 from typing import Any, Dict
 
@@ -97,6 +98,13 @@ class Config:
                 raise ValueError("Malformed parameter assignment: %r" % item)
             k, v = item.split("=", 1)
             k = k.strip()
+            if k not in self._values:
+                # typo'd knobs silently doing nothing waste entire runs;
+                # unknown keys are still SET (forward/experimental compat,
+                # and the reference accepts injected keys) but flagged
+                logging.getLogger("zero_tpu").warning(
+                    "Unknown parameter %r (not a declared default) -- "
+                    "check for a typo", k)
             self._values[k] = _coerce(v.strip(), self._values.get(k))
         return self
 
@@ -295,6 +303,13 @@ def default_config() -> Config:
         # pass (jax.checkpoint) to fit deep/large models in HBM
         use_remat=False,
 
+        # compute the tied-softmax CE loss in N-token chunks under
+        # jax.checkpoint so the [tokens, vocab] fp32 logits (multi-GB at
+        # WMT step sizes) never persist for the backward; 0 = off.
+        # Numerically identical to the unchunked loss (hooks-skeleton
+        # models; models/common.py:chunked_tied_ce)
+        loss_chunk_tokens=0,
+
         # -- observability (rebuild extension; SURVEY §5: the reference
         # has no tracing -- only wall-clock step logs)
         profiler_dir="",          # write a jax.profiler trace here
@@ -367,6 +382,9 @@ def default_config() -> Config:
         # experimentation and long-context extension work
         use_flash_attention=False,
         flash_block_size=256,
+        # fused single-position decode attention (kernels/decode_attention):
+        # opt-in; measured win/loss vs XLA is recorded in docs/kernels.md
+        use_flash_decode=False,
     )
 
 

@@ -100,6 +100,26 @@ def round_up(x: int, multiple: int) -> int:
     return ((x + multiple - 1) // multiple) * multiple
 
 
+def snap_rows_ladder(n: int, multiple: int) -> int:
+    """Snap a row count UP to a geometric ladder (1.25x steps on top of
+    ``multiple``), bounding the number of distinct batch shapes to
+    O(log rows) instead of one per row count.
+
+    Token-budget batching emits batches whose row counts vary freely with
+    the length mix (rows ~ token_size / max_len); on TPU every distinct
+    [rows, len] shape is a separate jit compile (30s-4min over the
+    tunnel), so unsnapped token mode thrashes the compile cache. The <=25%
+    all-pad row overhead is fully masked downstream (all-pad rows are
+    legal everywhere; tests/test_padding_invariance.py)."""
+    if multiple <= 1:
+        return n
+    step = max(multiple, 16)
+    v = step
+    while v < n:
+        v = round_up(max(v + 1, int(v * 1.25)), step)
+    return v
+
+
 class Dataset:
     """Parallel-text dataset with sort-bucket batching and a leak buffer.
 
@@ -207,8 +227,13 @@ class Dataset:
 
         src_len = round_up(src_len, self.pad_seq_multiple)
         tgt_len = round_up(tgt_len, self.pad_seq_multiple)
-        padded_bs = max(round_up(batch_size, self.pad_batch_multiple),
-                        self.pad_batch_to)
+        if self.batch_or_token == "token":
+            # token-budget batches have data-dependent row counts: snap to
+            # the geometric ladder so jit shape count stays O(log)
+            padded_bs = snap_rows_ladder(batch_size, self.pad_batch_multiple)
+        else:
+            padded_bs = round_up(batch_size, self.pad_batch_multiple)
+        padded_bs = max(padded_bs, self.pad_batch_to)
 
         s = np.zeros([padded_bs, src_len], dtype=np.int32)
         t = np.zeros([padded_bs, tgt_len], dtype=np.int32)

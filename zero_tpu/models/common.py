@@ -34,7 +34,9 @@ from zero_tpu import dtypes
 from zero_tpu.models.base import Inference
 from zero_tpu.ops import initializers as inits
 from zero_tpu.ops import nn
-from zero_tpu.ops.common import RngGen, dropout, label_smooth_loss
+from zero_tpu.ops import common as ops_common
+from zero_tpu.ops.common import (RngGen, dropout, label_smooth_loss,
+                                 sentence_mean_loss)
 
 
 class LayerHooks(NamedTuple):
@@ -137,6 +139,58 @@ def output_logits(feature, softmax_table):
     logits = jnp.einsum("...d,vd->...v", feature,
                         softmax_table.astype(feature.dtype))
     return logits.astype(jnp.float32)
+
+
+def chunked_tied_ce(feature, soft_table, labels, factor, chunk_tokens):
+    """Per-position label-smoothed CE without persisting full logits.
+
+    The [B*L, V] fp32 logits tensor of a WMT-scale step is multi-GB; kept
+    alive for the backward pass it dominates the step's HBM traffic. This
+    computes the tied-softmax CE in ``chunk_tokens``-row chunks under
+    jax.checkpoint: the forward keeps only the per-position centropy, and
+    the backward recomputes each chunk's logits (one extra d*V matmul per
+    token, a few % FLOPs, for multi-GB less traffic). Per-position math is
+    IDENTICAL to smoothed_centropy(output_logits(...)) -- chunking over
+    positions changes nothing numerically.
+
+    feature: [B, L, d] compute dtype; returns centropy [B, L] fp32.
+    """
+    b, l, d = feature.shape
+    n = b * l
+    xf = feature.reshape(n, d)
+    lf = labels.reshape(n).astype(jnp.int32)
+    chunk = max(1, min(int(chunk_tokens), n))
+    pad = (-n) % chunk
+    if pad:
+        xf = jnp.concatenate([xf, jnp.zeros((pad, d), xf.dtype)], axis=0)
+        lf = jnp.concatenate([lf, jnp.zeros((pad,), lf.dtype)], axis=0)
+    nc = (n + pad) // chunk
+
+    @jax.checkpoint
+    def _chunk_ce(xc, lc, table):
+        return ops_common.smoothed_centropy(output_logits(xc, table), lc,
+                                            factor)
+
+    def body(_, xl):
+        xc, lc = xl
+        return None, _chunk_ce(xc, lc, soft_table)
+
+    _, cent = jax.lax.scan(
+        body, None, (xf.reshape(nc, chunk, d), lf.reshape(nc, chunk)))
+    return cent.reshape(-1)[:n].reshape(b, l)
+
+
+def ce_from_feature(feature, soft_table, labels, mask, cfg, factor):
+    """Tied-softmax label-smoothed CE from decoder features: the chunked
+    no-persistent-logits path when cfg.loss_chunk_tokens > 0, the plain
+    full-logits path otherwise. Returns (scalar loss, per-sentence [B])."""
+    chunk = int(getattr(cfg, "loss_chunk_tokens", 0) or 0)
+    if chunk > 0:
+        return sentence_mean_loss(
+            chunked_tied_ce(feature, soft_table, labels, factor, chunk),
+            mask)
+    return label_smooth_loss(output_logits(feature, soft_table), labels,
+                             mask, factor)
 
 
 # ---------------------------------------------------------------------------
@@ -310,18 +364,18 @@ def make_transformer(hooks: LayerHooks, zero_softmax: bool = False,
                                               mem_keep, cfg, rngs, mask)
         if hooks.dec_post is not None:
             x = hooks.dec_post(params["dec_post"], x)
-        logits = output_logits(x, soft_table)
-        return logits, mask
+        return x, soft_table, mask
 
     def _loss(params, features, cfg, rng, step, training, label_smooth):
         dtype = dtypes.compute_dtype(cfg)
         cparams = dtypes.cast_to_compute(params, cfg)
         rngs = RngGen(rng if training else None)
         state = _encode(cparams, features["source"], cfg, rngs, dtype, training)
-        logits, mask = _decode_train(cparams, features["target"], state, cfg,
-                                     rngs, dtype, training)
-        loss, per_sample = label_smooth_loss(
-            logits, features["target"], mask, label_smooth)
+        feature, soft_table, mask = _decode_train(
+            cparams, features["target"], state, cfg, rngs, dtype, training)
+        loss, per_sample = ce_from_feature(feature, soft_table,
+                                           features["target"], mask, cfg,
+                                           label_smooth)
         if extra_loss is not None and training:
             loss = loss + extra_loss(cparams, state, cfg, step)
         return loss, per_sample

@@ -91,7 +91,8 @@ def init_dec_layer_cache(p, batch, max_len, cfg, dtype):
 
 def dec_layer_step(p, x_t, layer_state, state, cache, time, cfg):
     y, cache = attention.self_attn_step(p["self"], x_t, cache, time,
-                                        cfg.num_heads)
+                                        cfg.num_heads,
+                                        use_flash=cfg.use_flash_decode)
     x_t = nn.layer_norm(p["ln1"], x_t + y)
     y, _ = attention.cross_attn_step(p["cross"], x_t, layer_state,
                                      state["mask"], cfg.num_heads,

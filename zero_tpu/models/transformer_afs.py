@@ -34,7 +34,7 @@ from zero_tpu import dtypes
 from zero_tpu.models import common, transformer as base
 from zero_tpu.models.base import Inference, model_register
 from zero_tpu.ops import l0norm, nn
-from zero_tpu.ops.common import RngGen, dropout, label_smooth_loss
+from zero_tpu.ops.common import RngGen, dropout
 
 
 def _ctc_vocab_size(cfg) -> int:
@@ -211,8 +211,7 @@ def _decode_train(params, target, state, cfg, rngs, training):
     for p in params["decoder"]:
         x = base.dec_layer_train(p, x, state, self_keep, mem_keep, cfg, rngs,
                                  dmask)
-    logits = common.output_logits(x, _soft_table(params, cfg))
-    return logits, dmask
+    return x, dmask
 
 
 def _ctc_loss(params, state, transcript, cfg):
@@ -236,10 +235,11 @@ def train_fn(params, features, cfg, rng, step=0):
                     features["audio_mask"], cfg, rngs, True,
                     context=features.get("context"),
                     context_mask=features.get("context_mask"))
-    logits, dmask = _decode_train(params, features["target"], state, cfg,
-                                  rngs, True)
-    loss, _ = label_smooth_loss(logits, features["target"], dmask,
-                                cfg.label_smooth)
+    feat, dmask = _decode_train(params, features["target"], state, cfg,
+                                rngs, True)
+    loss, _ = common.ce_from_feature(feat, _soft_table(params, cfg),
+                                     features["target"], dmask, cfg,
+                                     cfg.label_smooth)
     loss += l0norm.l0_regularization_loss(
         state["afs_penalty"], step, reg_scalar=cfg.afs_l0_scalar,
         start_reg_ramp_up=cfg.l0_norm_start_reg_ramp_up,
@@ -257,9 +257,11 @@ def score_fn(params, features, cfg):
     state = _encode(params, features["audio"], features["audio_mask"], cfg,
                     rngs, False, context=features.get("context"),
                     context_mask=features.get("context_mask"))
-    logits, dmask = _decode_train(params, features["target"], state, cfg,
-                                  rngs, False)
-    _, per_sample = label_smooth_loss(logits, features["target"], dmask, 0.0)
+    feat, dmask = _decode_train(params, features["target"], state, cfg,
+                                rngs, False)
+    _, per_sample = common.ce_from_feature(feat, _soft_table(params, cfg),
+                                           features["target"], dmask, cfg,
+                                           0.0)
     return {"score": per_sample}
 
 
@@ -299,9 +301,10 @@ def infer_fn(cfg):
 
     def decode_prefix(params, tgt_buffer, state, time):
         rngs = RngGen(None)
-        logits, _ = _decode_train(params, tgt_buffer, state, cfg, rngs, False)
-        return jax.lax.dynamic_slice_in_dim(
-            logits, jnp.asarray(time, jnp.int32), 1, axis=1)[:, 0]
+        feat, _ = _decode_train(params, tgt_buffer, state, cfg, rngs, False)
+        feat = jax.lax.dynamic_slice_in_dim(
+            feat, jnp.asarray(time, jnp.int32), 1, axis=1)[:, 0]
+        return common.output_logits(feat, _soft_table(params, cfg))
 
     return Inference(encode=encode, init_cache=init_cache,
                      decode_step=decode_step, decode_prefix=decode_prefix)

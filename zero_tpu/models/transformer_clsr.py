@@ -26,7 +26,7 @@ from zero_tpu.models import common, transformer as base
 from zero_tpu.models.base import Inference, model_register
 from zero_tpu.models.transformer_multilingual import lang_from_source
 from zero_tpu.ops import attention, l0norm, nn
-from zero_tpu.ops.common import RngGen, dropout, label_smooth_loss
+from zero_tpu.ops.common import RngGen, dropout
 
 
 # -- CLSR unit ----------------------------------------------------------------
@@ -150,18 +150,17 @@ def _decode_train(params, target, state, cfg, rngs, training, gate_sums):
     for p in params["decoder"]:
         x = _dec_layer(p, x, state, self_keep, mem_keep, state["lang"], cfg,
                        rngs, training, gate_sums)
-    logits = common.output_logits(x, soft_table)
-    return logits, mask
+    return x, soft_table, mask
 
 
 def train_fn(params, features, cfg, rng, step=0):
     rngs = RngGen(rng)
     gate_sums = []
     state = _encode(params, features["source"], cfg, rngs, True, gate_sums)
-    logits, mask = _decode_train(params, features["target"], state, cfg,
-                                 rngs, True, gate_sums)
-    loss, _ = label_smooth_loss(logits, features["target"], mask,
-                                cfg.label_smooth)
+    feat, soft_table, mask = _decode_train(params, features["target"], state,
+                                           cfg, rngs, True, gate_sums)
+    loss, _ = common.ce_from_feature(feat, soft_table, features["target"],
+                                     mask, cfg, cfg.label_smooth)
     total_g = sum(s for s, _ in gate_sums)
     total_n = sum(n for _, n in gate_sums)
     budget_loss = jnp.abs(total_g / jnp.maximum(total_n, 1.0)
@@ -172,9 +171,11 @@ def train_fn(params, features, cfg, rng, step=0):
 def score_fn(params, features, cfg):
     rngs = RngGen(None)
     state = _encode(params, features["source"], cfg, rngs, False, None)
-    logits, mask = _decode_train(params, features["target"], state, cfg,
-                                 rngs, False, None)
-    _, per_sample = label_smooth_loss(logits, features["target"], mask, 0.0)
+    feat, soft_table, mask = _decode_train(params, features["target"], state,
+                                           cfg, rngs, False, None)
+    _, per_sample = common.ce_from_feature(feat, soft_table,
+                                           features["target"], mask, cfg,
+                                           0.0)
     return {"score": per_sample}
 
 
@@ -208,7 +209,8 @@ def infer_fn(cfg):
         for p, lstate, lcache in zip(params["decoder"], state["layers"],
                                      cache["layers"]):
             y, new_c = attention.self_attn_step(p["self"], x, lcache, time,
-                                                cfg.num_heads)
+                                                cfg.num_heads,
+                                                use_flash=cfg.use_flash_decode)
             y = clsr(p["clsr1"], y, lang, rngs, False, None)
             x = nn.layer_norm(p["ln1"], x + y)
             y, _ = attention.cross_attn_step(p["cross"], x, lstate,
@@ -224,10 +226,11 @@ def infer_fn(cfg):
 
     def decode_prefix(params, tgt_buffer, state, time):
         rngs = RngGen(None)
-        logits, _ = _decode_train(params, tgt_buffer, state, cfg, rngs,
-                                  False, None)
-        return jax.lax.dynamic_slice_in_dim(
-            logits, jnp.asarray(time, jnp.int32), 1, axis=1)[:, 0]
+        feat, soft_table, _ = _decode_train(params, tgt_buffer, state, cfg,
+                                            rngs, False, None)
+        feat = jax.lax.dynamic_slice_in_dim(
+            feat, jnp.asarray(time, jnp.int32), 1, axis=1)[:, 0]
+        return common.output_logits(feat, soft_table)
 
     return Inference(encode=encode, init_cache=init_cache,
                      decode_step=decode_step, decode_prefix=decode_prefix)

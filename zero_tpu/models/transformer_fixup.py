@@ -97,7 +97,8 @@ def init_dec_layer_cache(p, batch, max_len, cfg, dtype):
 def dec_layer_step(p, x_t, layer_state, state, cache, time, cfg):
     y, cache = attention.self_attn_step(p["self"],
                                         fixup.shift(p["self_shift"], x_t),
-                                        cache, time, cfg.num_heads)
+                                        cache, time, cfg.num_heads,
+                                        use_flash=cfg.use_flash_decode)
     y = fixup.scale(p["self_scale"], y)
     x_t = x_t + y
     y, _ = attention.cross_attn_step(p["cross"],

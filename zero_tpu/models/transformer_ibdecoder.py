@@ -38,7 +38,7 @@ from zero_tpu import dtypes
 from zero_tpu.models import common, transformer as base
 from zero_tpu.models.base import model_register
 from zero_tpu.ops import nn
-from zero_tpu.ops.common import RngGen, dropout, label_smooth_loss
+from zero_tpu.ops.common import RngGen, dropout
 
 F32_MIN = jnp.finfo(jnp.float32).min
 
@@ -166,8 +166,7 @@ def _decode_train(params, z, state, cfg, rngs, training):
         x = base.dec_layer_train(p, x, state, self_keep, mem_keep, cfg, rngs,
                                  zmask)
     _, _, soft_table = common.emb_tables(params, cfg)
-    logits = common.output_logits(x, soft_table)
-    return logits, zmask
+    return x, soft_table, zmask
 
 
 def train_fn(params, features, cfg, rng, step=0):
@@ -175,8 +174,9 @@ def train_fn(params, features, cfg, rng, step=0):
     rngs = RngGen(rng)
     state = _encode(params, features["source"], cfg, rngs, True)
     z = interleave_target(features["target"], cfg.tgt_vocab.eos())
-    logits, zmask = _decode_train(params, z, state, cfg, rngs, True)
-    loss, _ = label_smooth_loss(logits, z, zmask, cfg.label_smooth)
+    feat, soft_table, zmask = _decode_train(params, z, state, cfg, rngs, True)
+    loss, _ = common.ce_from_feature(feat, soft_table, z, zmask, cfg,
+                                     cfg.label_smooth)
     return {"loss": loss}
 
 
@@ -185,8 +185,10 @@ def score_fn(params, features, cfg):
     rngs = RngGen(None)
     state = _encode(params, features["source"], cfg, rngs, False)
     z = interleave_target(features["target"], cfg.tgt_vocab.eos())
-    logits, zmask = _decode_train(params, z, state, cfg, rngs, False)
-    _, per_sample = label_smooth_loss(logits, z, zmask, 0.0)
+    feat, soft_table, zmask = _decode_train(params, z, state, cfg, rngs,
+                                            False)
+    _, per_sample = common.ce_from_feature(feat, soft_table, z, zmask, cfg,
+                                           0.0)
     return {"score": per_sample}
 
 
@@ -241,9 +243,10 @@ def infer_fn(cfg):
     def decode_prefix(params, z_buffer, state, pair_i):
         params = dtypes.cast_to_compute(params, cfg)
         rngs = RngGen(None)
-        logits, _ = _decode_train(params, z_buffer, state, cfg, rngs, False)
-        sl = jax.lax.dynamic_slice_in_dim(logits, 2 * pair_i, 2, axis=1)
-        return sl
+        feat, soft_table, _ = _decode_train(params, z_buffer, state, cfg,
+                                            rngs, False)
+        sl = jax.lax.dynamic_slice_in_dim(feat, 2 * pair_i, 2, axis=1)
+        return common.output_logits(sl, soft_table)
 
     return IBInference(encode=encode, init_cache=init_cache,
                        decode_pair=decode_pair, decode_prefix=decode_prefix)

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from zero_tpu.models import common, transformer as base
 from zero_tpu.models.base import Inference, model_register
 from zero_tpu.ops import attention, nn
-from zero_tpu.ops.common import RngGen, dropout, label_smooth_loss
+from zero_tpu.ops.common import RngGen, dropout
 
 
 def lang_from_source(source, cfg):
@@ -147,26 +147,27 @@ def _decode_train(params, target, state, cfg, rngs, training):
         x = _dec_layer_train(p, x, state, self_keep, mem_keep, cfg, rngs,
                              lang)
     x = _lalt(params, x, lang)
-    logits = common.output_logits(x, soft_table)
-    return logits, mask
+    return x, soft_table, mask
 
 
 def train_fn(params, features, cfg, rng, step=0):
     rngs = RngGen(rng)
     state = _encode(params, features["source"], cfg, rngs, True)
-    logits, mask = _decode_train(params, features["target"], state, cfg,
-                                 rngs, True)
-    loss, _ = label_smooth_loss(logits, features["target"], mask,
-                                cfg.label_smooth)
+    feat, soft_table, mask = _decode_train(params, features["target"], state,
+                                           cfg, rngs, True)
+    loss, _ = common.ce_from_feature(feat, soft_table, features["target"],
+                                     mask, cfg, cfg.label_smooth)
     return {"loss": loss}
 
 
 def score_fn(params, features, cfg):
     rngs = RngGen(None)
     state = _encode(params, features["source"], cfg, rngs, False)
-    logits, mask = _decode_train(params, features["target"], state, cfg,
-                                 rngs, False)
-    _, per_sample = label_smooth_loss(logits, features["target"], mask, 0.0)
+    feat, soft_table, mask = _decode_train(params, features["target"], state,
+                                           cfg, rngs, False)
+    _, per_sample = common.ce_from_feature(feat, soft_table,
+                                           features["target"], mask, cfg,
+                                           0.0)
     return {"score": per_sample}
 
 
@@ -203,7 +204,8 @@ def infer_fn(cfg):
         for p, lstate, lcache in zip(params["decoder"], state["layers"],
                                      cache["layers"]):
             y, new_c = attention.self_attn_step(p["self"], x, lcache, time,
-                                                cfg.num_heads)
+                                                cfg.num_heads,
+                                                use_flash=cfg.use_flash_decode)
             x = lang_layer_norm(p["ln1"], x + y, lang)
             y, _ = attention.cross_attn_step(p["cross"], x, lstate,
                                              state["mask"], cfg.num_heads)
@@ -217,10 +219,11 @@ def infer_fn(cfg):
 
     def decode_prefix(params, tgt_buffer, state, time):
         rngs = RngGen(None)
-        logits, _ = _decode_train(params, tgt_buffer, state, cfg, rngs,
-                                  False)
-        return jax.lax.dynamic_slice_in_dim(
-            logits, jnp.asarray(time, jnp.int32), 1, axis=1)[:, 0]
+        feat, soft_table, _ = _decode_train(params, tgt_buffer, state, cfg,
+                                            rngs, False)
+        feat = jax.lax.dynamic_slice_in_dim(
+            feat, jnp.asarray(time, jnp.int32), 1, axis=1)[:, 0]
+        return common.output_logits(feat, soft_table)
 
     return Inference(encode=encode, init_cache=init_cache,
                      decode_step=decode_step, decode_prefix=decode_prefix)

@@ -263,12 +263,17 @@ def init_self_cache(batch: int, max_len: int, hidden: int, dtype):
 
 
 def self_attn_step(params, x_t, cache, time, num_heads, *,
-                   rpr_tables=None, max_relative_position=None, relu=False):
+                   rpr_tables=None, max_relative_position=None, relu=False,
+                   use_flash=False):
     """One-step self-attention with a static cache.
 
     x_t: [B, 1, d]; cache: {'k','v': [B, T_max, hidden]}; time: scalar int.
     Writes this step's k/v at position ``time`` and attends over positions
     <= time. Returns (output [B, 1, hidden], new_cache).
+
+    use_flash routes the plain-softmax single-position path through the
+    fused decode kernel (ops/kernels/decode_attention.py); exotic paths
+    (RPR, ReLA, multi-position steps) stay on XLA.
     """
     h = nn.linear(params["qkv"], x_t)
     q, k_t, v_t = jnp.split(h, 3, axis=-1)
@@ -278,6 +283,16 @@ def self_attn_step(params, x_t, cache, time, num_heads, *,
     v = jax.lax.dynamic_update_slice(cache["v"], v_t.astype(cache["v"].dtype),
                                      (0, time, 0))
     t_max = k.shape[1]
+
+    if use_flash and not relu and rpr_tables is None:
+        import zero_tpu.ops.kernels.decode_attention as da_mod
+        if (jax.default_backend() == "tpu"
+                and da_mod.supported(x_t.shape[1], t_max, k.shape[2],
+                                     num_heads)):
+            o = da_mod.decode_attention(q, k, v, time, num_heads)
+            if "o" in params:
+                o = nn.linear(params["o"], o)
+            return o, {"k": k, "v": v}
     pos = jnp.arange(t_max)
     # multi-position steps (x_t length > 1, e.g. IBDecoder pairs) may
     # attend across all freshly-written slots

@@ -90,18 +90,15 @@ def log_prob_from_logits(logits: jax.Array) -> jax.Array:
     return logits - jax.nn.logsumexp(logits, axis=-1, keepdims=True)
 
 
-def label_smooth_loss(logits: jax.Array, labels: jax.Array, mask: jax.Array,
-                      factor: float = 0.1):
-    """Label-smoothed CE with normalizer subtraction and the reference's
-    per-sentence-mean-then-batch-mean reduction (transformer.py:198-216,
-    util.py:88-103). Returns (scalar loss, per-sentence loss [B]).
-
-    All-pad sentences (padded batch rows) contribute 0 and are excluded
-    from the batch mean, generalising the reference's zero-batch guard.
-    """
+def smoothed_centropy(logits: jax.Array, labels: jax.Array,
+                      factor: float) -> jax.Array:
+    """Per-position label-smoothed CE minus the smoothing normalizer
+    (transformer.py:198-216, util.py:88-103), fp32. Shape = labels'."""
     logits = logits.astype(jnp.float32)
     vocab_size = logits.shape[-1]
     logp = jax.nn.log_softmax(logits, axis=-1)
+    gold_logp = jnp.take_along_axis(
+        logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
 
     if 0.0 < factor < 1.0:
         n = float(vocab_size - 1)
@@ -109,22 +106,32 @@ def label_smooth_loss(logits: jax.Array, labels: jax.Array, mask: jax.Array,
         q = factor / n
         # cross entropy with the smoothed one-hot: p on gold, q elsewhere
         sum_logp = jnp.sum(logp, axis=-1)
-        gold_logp = jnp.take_along_axis(
-            logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
         centropy = -(p * gold_logp + q * (sum_logp - gold_logp))
         normalizer = -(p * jnp.log(p) + n * q * jnp.log(q + 1e-20))
-        centropy = centropy - normalizer
-    else:
-        gold_logp = jnp.take_along_axis(
-            logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
-        centropy = -gold_logp
+        return centropy - normalizer
+    return -gold_logp
 
+
+def sentence_mean_loss(centropy: jax.Array, mask: jax.Array):
+    """The reference's per-sentence-mean-then-batch-mean reduction.
+    All-pad sentences (padded batch rows) contribute 0 and are excluded
+    from the batch mean, generalising the reference's zero-batch guard.
+    Returns (scalar loss, per-sentence loss [B])."""
     mask = mask.astype(jnp.float32)
     msum = jnp.sum(mask, axis=-1)
     per_sample = jnp.sum(centropy * mask, axis=-1) / jnp.maximum(msum, 1.0)
     valid = (msum > 0).astype(jnp.float32)
     loss = jnp.sum(per_sample * valid) / jnp.maximum(jnp.sum(valid), 1.0)
     return loss, per_sample
+
+
+def label_smooth_loss(logits: jax.Array, labels: jax.Array, mask: jax.Array,
+                      factor: float = 0.1):
+    """Label-smoothed CE with normalizer subtraction and the reference's
+    per-sentence-mean-then-batch-mean reduction. Returns (scalar loss,
+    per-sentence loss [B])."""
+    return sentence_mean_loss(smoothed_centropy(logits, labels, factor),
+                              mask)
 
 
 def gumbel_noise(rng: jax.Array, shape, eps: float = 1e-8) -> jax.Array:

@@ -1,0 +1,121 @@
+"""Fused decode-step attention Pallas TPU kernel (one query position).
+
+The beam-search hot loop runs self-attention with a single query against
+the static preallocated KV cache (ops/attention.py:self_attn_step,
+replacing the reference's concat-grow cache, func.py:199-205). The XLA
+path lowers to a chain of small HLOs per layer (two batched matvecs, a
+masked fp32 softmax and the glue reshapes); this kernel fuses the whole
+masked-attention read into ONE pass per batch row.
+
+Layout trick: at decode widths the head depth (hidden/heads, typically
+64) is below the 128-lane granule, so per-head lane slicing would force
+relayouts. Instead the kernel never splits heads:
+
+  * logits: S = K @ (broadcast(q) * Sel)^T -> [T, H], where Sel[h, l] is
+    the static 0/1 head-ownership mask (1 iff lane l belongs to head h).
+    Row h of the right operand holds q masked to head h's lanes, so the
+    full-width contraction reproduces the per-head dot products exactly.
+  * softmax over T per head column (fp32, position <= time mask from a
+    scalar-prefetched time index -- same semantics as self_attn_step).
+  * output: M = W^T @ V -> [H, hidden]; the per-head row of M holds that
+    head's weighted value sum across ALL lanes, and the concatenated
+    output keeps each lane's own head: o = sum_h (M * Sel)[h, :].
+
+Grid (B,): every program owns one batch(*beam) row, with the row's full
+[T_max, hidden] K/V cache blocks VMEM-resident (decode caches are short:
+<= a few hundred positions for MT, a few thousand for speech). Decode is
+HBM-bound on the cache read, so the ceiling is bandwidth parity with XLA;
+the win is removing per-layer HLO overhead and intermediate round trips.
+Measured win/loss vs XLA lives in docs/kernels.md; ``use_flash_decode``
+stays opt-in either way.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+# one row's K or V cache block must stay comfortably inside VMEM
+MAX_CACHE_ELEMS = 2 * 1024 * 1024
+
+
+def supported(lq: int, t_max: int, hidden: int, num_heads: int) -> bool:
+    """Kernel eligibility: single-position queries, even head split,
+    cache block resident in VMEM."""
+    return (lq == 1
+            and hidden % num_heads == 0
+            and t_max * hidden <= MAX_CACHE_ELEMS)
+
+
+def _kernel(time_ref, q_ref, k_ref, v_ref, o_ref, *, num_heads: int):
+    t = time_ref[0]
+    k = k_ref[0]                                 # [T, hidden]
+    v = v_ref[0]                                 # [T, hidden]
+    q = q_ref[0]                                 # [1, hidden]
+    t_max, hidden = k.shape
+    dh = hidden // num_heads
+    scale = dh ** -0.5
+
+    # static head-ownership mask: Sel[h, l] = 1 iff lane l is head h's
+    head_of_lane = jax.lax.broadcasted_iota(
+        jnp.int32, (num_heads, hidden), 1) // dh
+    head_row = jax.lax.broadcasted_iota(
+        jnp.int32, (num_heads, hidden), 0)
+    sel = (head_of_lane == head_row).astype(q.dtype)   # [H, hidden]
+
+    q_heads = jnp.broadcast_to(q, (num_heads, hidden)) * sel
+    s = jax.lax.dot_general(k, q_heads, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [T, H]
+    s = s * scale
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (t_max, 1), 0)
+    s = jnp.where(pos <= t, s, NEG_INF)
+    m = jnp.max(s, axis=0, keepdims=True)
+    p = jnp.exp(s - m)
+    w = (p / jnp.sum(p, axis=0, keepdims=True)).astype(v.dtype)  # [T, H]
+
+    mixed = jax.lax.dot_general(w, v, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    sel_f = sel.astype(jnp.float32)
+    o = jnp.sum(mixed * sel_f, axis=0, keepdims=True)            # [1, hidden]
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                     time: jax.Array, num_heads: int,
+                     interpret: bool = False) -> jax.Array:
+    """Single-step masked attention over the static decode cache.
+
+    q: [B, 1, hidden]; k, v: [B, T_max, hidden] caches ALREADY holding this
+    step's entries at position ``time``; attends over positions <= time.
+    Returns [B, 1, hidden] in the query dtype.
+    """
+    b, lq, hidden = q.shape
+    t_max = k.shape[1]
+    del lq
+    time_arr = jnp.asarray(time, jnp.int32).reshape((1,))
+
+    def row_map(i, *_):
+        return (i, 0, 0)
+
+    q_spec = pl.BlockSpec((1, 1, hidden), row_map, memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, t_max, hidden), row_map,
+                           memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, num_heads=num_heads),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, 1, hidden), q.dtype),
+        interpret=interpret,
+    )(time_arr, q, k, v)

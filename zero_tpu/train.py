@@ -267,6 +267,12 @@ def train(params) -> bool:
 
         feed = Prefetcher(grouped_device_batches, maxsize=2, num_threads=1)
 
+        # tokens/s is measured over the whole disp interval (fetch-to-fetch):
+        # dispatch is deeply pipelined on TPU, so the last step's dispatch
+        # time says nothing about throughput
+        window_tokens = 0
+        window_start = time.time()
+
         for device_batch, token_count, shapes, lidx, batch in feed:
             adapt_lr.step(step)
             lr = adapt_lr.get_lr()
@@ -275,10 +281,10 @@ def train(params) -> bool:
                 jax.profiler.start_trace(params.profiler_dir)
                 log.info("profiler trace started -> %s", params.profiler_dir)
 
-            start_time = time.time()
             state, metrics = step_fn(state, device_batch, lr,
                                      jax.random.fold_in(data_rng, step))
             step += 1
+            window_tokens += token_count
 
             if params.profiler_dir and step == params.profiler_stop_step:
                 jax.block_until_ready(metrics["loss"])
@@ -286,10 +292,14 @@ def train(params) -> bool:
                 log.info("profiler trace stopped")
 
             if step % params.disp_freq == 0:
-                loss = float(metrics["loss"])
+                loss = float(metrics["loss"])   # drains the dispatch queue
                 gnorm = float(metrics["gnorm"])
                 pnorm = float(metrics["pnorm"])
-                duration = time.time() - start_time
+                now = time.time()
+                duration = now - window_start
+                rate = window_tokens / max(duration, 1e-6)
+                window_start = now
+                window_tokens = 0
                 if not params.safe_nan and (np.isnan(loss) or np.isinf(loss)):
                     log.error("Nan or Inf raised at step %d; abort training",
                               step)
@@ -300,7 +310,7 @@ def train(params) -> bool:
                          "%.0f tokens/s",
                          epoch, step, loss, gnorm, pnorm, lr,
                          shapes, token_count, duration,
-                         token_count / max(duration, 1e-6))
+                         rate)
 
             recorder.step = step
             recorder.lidx = lidx
@@ -317,6 +327,7 @@ def train(params) -> bool:
             if params.sample_freq > 0 and step % params.sample_freq == 0:
                 _sample_decode(params, decode, _eval_weights(params, state),
                                batch)
+                window_start = time.time()  # keep the pause out of tokens/s
 
             if params.eval_freq > 0 and step % params.eval_freq == 0:
                 bleu, _ = _dev_eval(
@@ -341,6 +352,7 @@ def train(params) -> bool:
                         break
                 else:
                     recorder.bad_counter = 0
+                window_start = time.time()  # keep the pause out of tokens/s
 
             if step >= params.max_training_steps:
                 should_stop = True
