@@ -15,10 +15,11 @@ import zero_tpu.models  # noqa: F401 (registers models)
 from zero_tpu.models.base import get_model
 from tests.helpers import tiny_config, toy_batch
 
-# hooks-skeleton + standalone transformer-family models that route
-# through ce_from_feature
+# hooks-skeleton + standalone transformer-family + RNN-family models that
+# route through ce_from_feature
 MODELS = ["transformer", "transformer_aan", "transformer_ibdecoder",
-          "transformer_multilingual", "transformer_clsr"]
+          "transformer_multilingual", "transformer_clsr",
+          "rnnsearch", "deepnmt", "rnnsearch_deepatt"]
 
 
 def _cfgs(name):

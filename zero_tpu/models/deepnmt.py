@@ -23,7 +23,7 @@ from zero_tpu.models import common
 from zero_tpu.models.base import Inference, model_register
 from zero_tpu.models.rnnsearch import _embed, _tables
 from zero_tpu.ops import nn
-from zero_tpu.ops.common import RngGen, dropout, label_smooth_loss
+from zero_tpu.ops.common import RngGen, dropout
 
 
 def init_fn(rng, cfg):
@@ -213,27 +213,28 @@ def _decode_train(params, target, state, cfg, rngs, training,
         feature = dropout(rngs(), feature, cfg.dropout if training else None)
     else:
         feature = x
-    logits = common.output_logits(feature, soft_table)
     mask_loss = (target != 0).astype(jnp.float32)
-    return logits, mask_loss, last_states
+    return feature, soft_table, mask_loss, last_states
 
 
 def train_fn(params, features, cfg, rng, step=0):
     rngs = RngGen(rng)
     state = _encode(params, features["source"], cfg, rngs, True)
-    logits, mask, _ = _decode_train(params, features["target"], state, cfg,
-                                    rngs, True)
-    loss, _ = label_smooth_loss(logits, features["target"], mask,
-                                cfg.label_smooth)
+    feat, soft_table, mask, _ = _decode_train(params, features["target"],
+                                              state, cfg, rngs, True)
+    loss, _ = common.ce_from_feature(feat, soft_table, features["target"],
+                                     mask, cfg, cfg.label_smooth)
     return {"loss": loss}
 
 
 def score_fn(params, features, cfg):
     rngs = RngGen(None)
     state = _encode(params, features["source"], cfg, rngs, False)
-    logits, mask, _ = _decode_train(params, features["target"], state, cfg,
-                                    rngs, False)
-    _, per_sample = label_smooth_loss(logits, features["target"], mask, 0.0)
+    feat, soft_table, mask, _ = _decode_train(params, features["target"],
+                                              state, cfg, rngs, False)
+    _, per_sample = common.ce_from_feature(feat, soft_table,
+                                           features["target"], mask, cfg,
+                                           0.0)
     return {"score": per_sample}
 
 
@@ -312,10 +313,12 @@ def infer_fn(cfg):
         positions = jnp.arange(tgt_buffer.shape[1])[None, :]
         mask = (positions <= time).astype(jnp.float32) \
             * jnp.ones_like(tgt_buffer, jnp.float32)
-        logits, _, _ = _decode_train(params, tgt_buffer, state, cfg, rngs,
-                                     False, mask_override=mask)
-        return jax.lax.dynamic_slice_in_dim(
-            logits, jnp.asarray(time, jnp.int32), 1, axis=1)[:, 0]
+        feat, soft_table, _, _ = _decode_train(params, tgt_buffer, state,
+                                               cfg, rngs, False,
+                                               mask_override=mask)
+        feat = jax.lax.dynamic_slice_in_dim(
+            feat, jnp.asarray(time, jnp.int32), 1, axis=1)[:, 0]
+        return common.output_logits(feat, soft_table)
 
     return Inference(encode=encode, init_cache=init_cache,
                      decode_step=decode_step, decode_prefix=decode_prefix)
