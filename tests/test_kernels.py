@@ -155,9 +155,9 @@ def test_decode_attention_matches_reference():
 
 def test_decode_attention_supported_bounds():
     assert da_mod.supported(1, 82, 512, 8)
-    assert da_mod.supported(1, 4096, 512, 8)     # speech-length cache
+    assert da_mod.supported(1, 2048, 512, 8)     # speech-length cache
     assert not da_mod.supported(2, 82, 512, 8)   # multi-position steps
-    assert not da_mod.supported(1, 8192, 512, 8)  # beyond VMEM residency
+    assert not da_mod.supported(1, 4096, 512, 8)  # beyond VMEM residency
 
 
 def test_flash_decode_model_path_matches_xla_path():

@@ -40,8 +40,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-# one row's K or V cache block must stay comfortably inside VMEM
-MAX_CACHE_ELEMS = 2 * 1024 * 1024
+# one row's K or V cache block must stay comfortably inside VMEM: the
+# pipeline double-buffers each input block, so K+V at bf16 cost
+# 2 buffers * 2 blocks * 2 bytes * ELEMS -- 1M elems ~ 8MB of the 16MB
+# scoped-vmem budget (2M hit the limit: 16.04M > 16.00M, measured v5e)
+MAX_CACHE_ELEMS = 1024 * 1024
 
 
 def supported(lq: int, t_max: int, hidden: int, num_heads: int) -> bool:
