@@ -82,31 +82,39 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    s = jnp.where(_keep_mask(mask_ref, s.shape, causal, bq, bk, jq, jk),
-                  s, NEG_INF)
+    def _body():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(_keep_mask(mask_ref, s.shape, causal, bq, bk, jq, jk),
+                      s, NEG_INF)
 
-    m_prev = m_scr[...]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
-    l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    m_scr[...] = m_new
+        m_prev = m_scr[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[...] = m_new
 
-    if dropout_rate > 0.0:
-        pltpu.prng_seed(_block_seed(seed_ref, i, jq, jk,
-                                    pl.num_programs(1), nk))
-        keep = _dropout_keep(p.shape, dropout_rate)
-        p_acc = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+        if dropout_rate > 0.0:
+            pltpu.prng_seed(_block_seed(seed_ref, i, jq, jk,
+                                        pl.num_programs(1), nk))
+            keep = _dropout_keep(p.shape, dropout_rate)
+            p_acc = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+        else:
+            p_acc = p
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
+            p_acc, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    if causal:
+        # skip above-diagonal blocks entirely (their DMA is clamped away
+        # in _mk_specs): ~2x at long causal lengths
+        pl.when(jq * bq + (bq - 1) >= jk * bk)(_body)
     else:
-        p_acc = p
-    acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
-        p_acc, v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        _body()
 
     @pl.when(jk == nk - 1)
     def _finish():
@@ -125,32 +133,38 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, lse_ref, delta_ref,
     def _init():
         dq_scr[...] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, 0, :][:, None]
-    delta = delta_ref[0, 0, :][:, None]
+    def _body():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0, 0, :][:, None]
+        delta = delta_ref[0, 0, :][:, None]
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    s = jnp.where(_keep_mask(mask_ref, s.shape, causal, bq, bk, jq, jk),
-                  s, NEG_INF)
-    w = jnp.exp(s - lse)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(_keep_mask(mask_ref, s.shape, causal, bq, bk, jq, jk),
+                      s, NEG_INF)
+        w = jnp.exp(s - lse)
 
-    dw_d = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    if dropout_rate > 0.0:
-        pltpu.prng_seed(_block_seed(seed_ref, i, jq, jk,
-                                    pl.num_programs(1), nk))
-        keep = _dropout_keep(w.shape, dropout_rate)
-        dw = jnp.where(keep, dw_d / (1.0 - dropout_rate), 0.0)
+        dw_d = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            pltpu.prng_seed(_block_seed(seed_ref, i, jq, jk,
+                                        pl.num_programs(1), nk))
+            keep = _dropout_keep(w.shape, dropout_rate)
+            dw = jnp.where(keep, dw_d / (1.0 - dropout_rate), 0.0)
+        else:
+            dw = dw_d
+        ds = w * (dw - delta)
+        dq_scr[...] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+    if causal:
+        pl.when(jq * bq + (bq - 1) >= jk * bk)(_body)
     else:
-        dw = dw_d
-    ds = w * (dw - delta)
-    dq_scr[...] += jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+        _body()
 
     @pl.when(jk == nk - 1)
     def _finish():
@@ -169,40 +183,47 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, lse_ref, delta_ref,
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, 0, :][:, None]
-    delta = delta_ref[0, 0, :][:, None]
+    def _body():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0, 0, :][:, None]
+        delta = delta_ref[0, 0, :][:, None]
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    s = jnp.where(_keep_mask(mask_ref, s.shape, causal, bq, bk, jq, jk),
-                  s, NEG_INF)
-    w = jnp.exp(s - lse)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(_keep_mask(mask_ref, s.shape, causal, bq, bk, jq, jk),
+                      s, NEG_INF)
+        w = jnp.exp(s - lse)
 
-    if dropout_rate > 0.0:
-        pltpu.prng_seed(_block_seed(seed_ref, i, jq, jk,
-                                    pl.num_programs(2), pl.num_programs(1)))
-        keep = _dropout_keep(w.shape, dropout_rate)
-        inv = 1.0 / (1.0 - dropout_rate)
-        w_d = jnp.where(keep, w * inv, 0.0)
-        dw_d = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-        dw = jnp.where(keep, dw_d * inv, 0.0)
+        if dropout_rate > 0.0:
+            pltpu.prng_seed(_block_seed(seed_ref, i, jq, jk,
+                                        pl.num_programs(2),
+                                        pl.num_programs(1)))
+            keep = _dropout_keep(w.shape, dropout_rate)
+            inv = 1.0 / (1.0 - dropout_rate)
+            w_d = jnp.where(keep, w * inv, 0.0)
+            dw_d = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            dw = jnp.where(keep, dw_d * inv, 0.0)
+        else:
+            w_d = w
+            dw = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+        dv_scr[...] += jax.lax.dot_general(
+            w_d, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = w * (dw - delta)
+        dk_scr[...] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+    if causal:
+        pl.when(jq * bq + (bq - 1) >= jk * bk)(_body)
     else:
-        w_d = w
-        dw = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-
-    dv_scr[...] += jax.lax.dot_general(
-        w_d, do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    ds = w * (dw - delta)
-    dk_scr[...] += jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+        _body()
 
     @pl.when(jq == nq - 1)
     def _finish():
@@ -210,11 +231,20 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _mk_specs(heads, bq, bk, dh, q_minor):
-    """Block specs; q_minor selects grid (bh, nq, nk) vs (bh, nk, nq)."""
+def _mk_specs(heads, bq, bk, dh, q_minor, causal=False):
+    """Block specs; q_minor selects grid (bh, nq, nk) vs (bh, nk, nq).
+
+    Under causal masking, blocks strictly above the diagonal contribute
+    nothing; their index maps are clamped to the last relevant block so
+    the pipeline re-reads an already-resident block (no DMA) while the
+    kernel body skips the compute (see _relevant)."""
     if q_minor:  # (bh, nk, nq): used by the dkv kernel
+        def _jq(a, b):
+            # first q-block whose rows reach k-block a: floor(a*bk / bq)
+            return jnp.maximum(b, (a * bk) // bq) if causal else b
+
         def q_map(i, a, b, *_):
-            return (i, b, 0)
+            return (i, _jq(a, b), 0)
 
         def kv_map(i, a, b, *_):
             return (i, a, 0)
@@ -223,16 +253,20 @@ def _mk_specs(heads, bq, bk, dh, q_minor):
             return (i // heads, 0, a)
 
         def row_map(i, a, b, *_):
-            return (i, 0, b)
+            return (i, 0, _jq(a, b))
     else:  # (bh, nq, nk)
+        def _jk(a, b):
+            # last k-block visible from q-block a: floor((a*bq+bq-1) / bk)
+            return jnp.minimum(b, (a * bq + bq - 1) // bk) if causal else b
+
         def q_map(i, a, b, *_):
             return (i, a, 0)
 
         def kv_map(i, a, b, *_):
-            return (i, b, 0)
+            return (i, _jk(a, b), 0)
 
         def mask_map(i, a, b, *_):
-            return (i // heads, 0, b)
+            return (i // heads, 0, _jk(a, b))
 
         def row_map(i, a, b, *_):
             return (i, 0, a)
@@ -255,7 +289,8 @@ def _streaming_forward(q, k, v, pad_mask, causal, dropout_rate, seed):
     q3 = q.reshape(bh, lq, dh)
     k3 = k.reshape(bh, lk, dh)
     v3 = v.reshape(bh, lk, dh)
-    q_spec, kv_spec, mask_spec, row_spec = _mk_specs(h, bq, bk, dh, False)
+    q_spec, kv_spec, mask_spec, row_spec = _mk_specs(h, bq, bk, dh,
+                                                     False, causal)
 
     kernel = functools.partial(_fwd_kernel, scale=scale, causal=causal,
                                dropout_rate=dropout_rate, bq=bq, bk=bk)
@@ -308,7 +343,8 @@ def _bwd_rule(causal, dropout_rate, residuals, g):
     do3 = g.reshape(bh, lq, dh)
     mask3 = pad_mask[:, None, :]
 
-    q_spec, kv_spec, mask_spec, row_spec = _mk_specs(h, bq, bk, dh, False)
+    q_spec, kv_spec, mask_spec, row_spec = _mk_specs(h, bq, bk, dh,
+                                                     False, causal)
     dq_kernel = functools.partial(_dq_kernel, scale=scale, causal=causal,
                                   dropout_rate=dropout_rate, bq=bq, bk=bk)
     dq = pl.pallas_call(
@@ -324,7 +360,8 @@ def _bwd_rule(causal, dropout_rate, residuals, g):
         out_shape=[jax.ShapeDtypeStruct((bh, lq, dh), q.dtype)],
     )(seed, q3, k3, v3, mask3, lse, delta, do3)[0]
 
-    q_spec, kv_spec, mask_spec, row_spec = _mk_specs(h, bq, bk, dh, True)
+    q_spec, kv_spec, mask_spec, row_spec = _mk_specs(h, bq, bk, dh,
+                                                     True, causal)
     dkv_kernel = functools.partial(_dkv_kernel, scale=scale, causal=causal,
                                    dropout_rate=dropout_rate, bq=bq, bk=bk)
     dk, dv = pl.pallas_call(
