@@ -134,7 +134,9 @@ class Dataset:
                  pad_batch_multiple: int = 1,
                  pad_batch_to: int = 0,
                  cache_ids: bool = True,
-                 num_workers: int = 0):
+                 num_workers: int = 0,
+                 vocab_files: Optional[Tuple[str, str]] = None,
+                 use_native: bool = True):
         self.source = src_file
         self.target = tgt_file
         self.src_vocab = src_vocab
@@ -154,6 +156,11 @@ class Dataset:
         # >1: tokenise with that many forked worker processes (reference
         # process_num / utils/queuer.py); 0/1: in-process
         self.num_workers = int(num_workers)
+        # the native C++ tokeniser (zero_tpu/native) needs the vocab FILES
+        # (it builds its own hash maps); exact-parity with the python path,
+        # used when both files are known and the library builds
+        self.vocab_files = vocab_files
+        self.use_native = use_native
         self._id_cache: Optional[List[Tuple[List[int], List[int]]]] = None
 
         self.leak_buffer: List[Tuple[int, List[int], List[int]]] = []
@@ -166,6 +173,17 @@ class Dataset:
         if self._id_cache is not None:
             yield from self._id_cache
             return
+        if self.use_native and self.vocab_files is not None:
+            from zero_tpu import native
+            pairs = native.encode_corpus(
+                self.source, self.target,
+                self.vocab_files[0], self.vocab_files[1],
+                self.max_len, n_threads=max(self.num_workers, 0))
+            if pairs is not None:
+                if self.cache_ids:
+                    self._id_cache = pairs
+                yield from pairs
+                return
         collected = [] if self.cache_ids else None
         if self.num_workers > 1 and sys.platform.startswith("linux"):
             source = self._tokenize_parallel()

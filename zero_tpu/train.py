@@ -74,7 +74,10 @@ def _make_dataset(params, src, tgt, train=True, data_par: int = 1):
                    pad_batch_to=0 if train else eval_rows,
                    # reference process_num: forked tokeniser workers for the
                    # first (uncached) pass over the training corpus
-                   num_workers=params.process_num if train else 0)
+                   num_workers=params.process_num if train else 0,
+                   # the C++ tokeniser path (exact parity, threaded)
+                   vocab_files=(params.src_vocab_file, params.tgt_vocab_file),
+                   use_native=params.native_tokenizer)
 
 
 def _batch_source(params, batch):
