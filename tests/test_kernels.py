@@ -175,3 +175,73 @@ def test_flash_decode_model_path_matches_xla_path():
     o_f = make_decode_fn(cfg_f, model)(params, feats)
     np.testing.assert_array_equal(np.asarray(o_x["seq"]),
                                   np.asarray(o_f["seq"]))
+
+
+# -- fused FFN kernel (interpret mode on CPU) ----------------------------------
+
+from zero_tpu.ops.kernels import fused_ffn as ffn_mod  # noqa: E402
+from zero_tpu.ops import nn as nn_mod  # noqa: E402
+
+
+def _ffn_params(key, d, f):
+    return nn_mod.init_ffn(key, d, f, d)
+
+
+def test_fused_ffn_matches_xla(monkeypatch):
+    monkeypatch.setattr(ffn_mod, "BM", 8)
+    monkeypatch.setattr(ffn_mod, "INTERPRET", True)
+    d, f, n = 128, 256, 16
+    p = _ffn_params(jax.random.PRNGKey(0), d, f)
+    x = _rand(1, 2, n // 2, d)
+    ref = nn_mod.ffn(p, x)
+    out = ffn_mod.fused_ffn(p, x)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_ffn_grads_match(monkeypatch):
+    monkeypatch.setattr(ffn_mod, "BM", 8)
+    monkeypatch.setattr(ffn_mod, "INTERPRET", True)
+    d, f, n = 128, 256, 16
+    p = _ffn_params(jax.random.PRNGKey(0), d, f)
+    x = _rand(1, n, d)
+
+    def loss_fused(p, x):
+        return jnp.sum(ffn_mod.fused_ffn(p, x) ** 2)
+
+    def loss_ref(p, x):
+        return jnp.sum(nn_mod.ffn(p, x) ** 2)
+
+    g1 = jax.grad(loss_fused, (0, 1))(p, x)
+    g2 = jax.grad(loss_ref, (0, 1))(p, x)
+    flat1, _ = jax.tree_util.tree_flatten(g1)
+    flat2, _ = jax.tree_util.tree_flatten(g2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_fused_ffn_supported_bounds():
+    assert ffn_mod.supported(512, 512, 2048, 512)
+    assert not ffn_mod.supported(100, 512, 2048, 512)   # untileable tokens
+    assert not ffn_mod.supported(512, 512, 8192, 512)   # beyond VMEM budget
+    assert not ffn_mod.supported(512, 96, 2048, 96)     # unaligned width
+
+
+def test_fused_ffn_model_path_matches_xla_path():
+    """transformer with use_fused_ffn on == off (dropout off; on CPU the
+    wrapper falls back, pinning the plumbing; kernel math is pinned by the
+    interpret-mode tests above and on-TPU benches)."""
+    over = dict(dropout=0.0, residual_dropout=0.0, relu_dropout=0.0,
+                attention_dropout=0.0)
+    cfg_x = tiny_config(model_name="transformer", use_fused_ffn=False, **over)
+    cfg_f = tiny_config(model_name="transformer", use_fused_ffn=True, **over)
+    model = get_model("transformer")
+    params = model.init_fn(jax.random.PRNGKey(0), cfg_x)
+    feats = {k: jnp.asarray(v) for k, v in toy_batch().items()}
+    l_x = float(model.train_fn(params, feats, cfg_x,
+                               jax.random.PRNGKey(1))["loss"])
+    l_f = float(model.train_fn(params, feats, cfg_f,
+                               jax.random.PRNGKey(1))["loss"])
+    assert abs(l_x - l_f) < 1e-4, (l_x, l_f)

@@ -392,6 +392,10 @@ def default_config() -> Config:
         # experimentation and long-context extension work
         use_flash_attention=False,
         flash_block_size=256,
+        # fused FFN kernel (kernels/fused_ffn.py): the [tokens, filter]
+        # hidden tile stays in VMEM and the dropout mask regenerates in
+        # the backward; opt-in pending a measured win (docs/kernels.md)
+        use_fused_ffn=False,
         # fused single-position decode attention (kernels/decode_attention):
         # 1.28x end-to-end beam-4 decode on v5e (docs/kernels.md), output
         # byte-identical to the XLA path; auto-falls-back off-TPU and for

@@ -37,7 +37,8 @@ def enc_layer(p, x, src_keep, cfg, rngs):
                              pad_mask=src_keep[:, 0, 0, :])["output"]
     x = nn.layer_norm(p["ln1"],
                       nn.residual_fn(x, y, rngs(), cfg.residual_dropout))
-    y = nn.ffn(p["ffn"], x, rngs(), cfg.relu_dropout)
+    y = nn.ffn(p["ffn"], x, rngs(), cfg.relu_dropout,
+               fused=cfg.use_fused_ffn)
     x = nn.layer_norm(p["ln2"],
                       nn.residual_fn(x, y, rngs(), cfg.residual_dropout))
     return x
@@ -75,7 +76,8 @@ def dec_layer_train(p, x, state, self_keep, mem_keep, cfg, rngs, tgt_mask):
                              count_weights=state.get("count"))["output"]
     x = nn.layer_norm(p["ln2"],
                       nn.residual_fn(x, y, rngs(), cfg.residual_dropout))
-    y = nn.ffn(p["ffn"], x, rngs(), cfg.relu_dropout)
+    y = nn.ffn(p["ffn"], x, rngs(), cfg.relu_dropout,
+               fused=cfg.use_fused_ffn)
     x = nn.layer_norm(p["ln3"],
                       nn.residual_fn(x, y, rngs(), cfg.residual_dropout))
     return x

@@ -117,8 +117,18 @@ def init_ffn(key, d_in: int, d_hidden: int, d_out: int,
     }
 
 
-def ffn(params, x, rng=None, relu_dropout: Optional[float] = None):
-    """ReLU FFN (func.py:327-338)."""
+def ffn(params, x, rng=None, relu_dropout: Optional[float] = None,
+        fused: bool = False):
+    """ReLU FFN (func.py:327-338).
+
+    fused=True routes to the Pallas fused kernel on TPU (the [tokens,
+    filter] hidden tile stays in VMEM; kernels/fused_ffn.py) and falls
+    back here for unsupported shapes/backends."""
+    if fused:
+        from zero_tpu.ops.kernels.fused_ffn import fused_ffn
+        y = fused_ffn(params, x, rng, relu_dropout)
+        if y is not None:
+            return y
     h = jax.nn.relu(linear(params["enlarge"], x))
     h = dropout(rng, h, relu_dropout)
     return linear(params["output"], h)
