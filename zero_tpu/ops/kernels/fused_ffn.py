@@ -37,8 +37,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # token-block rows per grid step; the [BM, filter] fp32 hidden tile plus
-# resident weights must fit scoped VMEM
-BM = 256
+# resident weights must fit scoped VMEM. BM=128: the backward keeps more
+# live tiles (recomputed hidden + mask + dh + dW accumulators) and
+# measured 2.6 MB over the 16 MB scoped-vmem limit at BM=256 with
+# dropout on (v5e). Forward and backward MUST share one block size: the
+# dropout mask regenerates from a per-block-index seed, so block i has
+# to cover the same rows in both passes
+BM = 128
 # tests flip this to run the kernels through the Pallas interpreter on CPU
 INTERPRET = False
 MAX_FILTER = 4096
@@ -60,11 +65,20 @@ def _keep_mask(shape, t: int):
 
 def _hidden(x_ref, w1_ref, b1_ref, seed_ref, t: int, inv: float):
     """relu(x@W1+b1) with the same bf16 rounding points as the XLA graph,
-    then the dropout keep/scale. Returns (h_dropped, h, keep)."""
+    then the dropout keep/scale. Returns (h_dropped, h_f32, keep).
+
+    Comparisons run in fp32: the v5e VPU has no bf16 vector compare
+    (Mosaic "Target does not support this comparison"). Rounding to the
+    input dtype still happens at the matmul output and after the bias
+    add, matching the XLA composite."""
     x = x_ref[...]
     s = jax.lax.dot_general(x, w1_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    h = jnp.maximum(s.astype(x.dtype) + b1_ref[0, :].astype(x.dtype), 0)
+    pre = (s.astype(x.dtype).astype(jnp.float32)
+           + b1_ref[0, :].astype(jnp.float32))
+    pre = pre.astype(x.dtype).astype(jnp.float32)
+    h_f = jnp.maximum(pre, 0.0)
+    h = h_f.astype(x.dtype)
     if t < 256:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         keep = _keep_mask(h.shape, t)
@@ -73,7 +87,7 @@ def _hidden(x_ref, w1_ref, b1_ref, seed_ref, t: int, inv: float):
     else:
         keep = None
         h_d = h
-    return h_d, h, keep
+    return h_d, h_f, keep
 
 
 def _fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
@@ -96,7 +110,7 @@ def _bwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, dy_ref,
         dw2_ref[...] = jnp.zeros_like(dw2_ref)
         db2_ref[...] = jnp.zeros_like(db2_ref)
 
-    h_d, h, keep = _hidden(x_ref, w1_ref, b1_ref, seed_ref, t, inv)
+    h_d, h_f, keep = _hidden(x_ref, w1_ref, b1_ref, seed_ref, t, inv)
     dy = dy_ref[...]
     dyf = dy.astype(jnp.float32)
 
@@ -110,7 +124,7 @@ def _bwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, dy_ref,
                                preferred_element_type=jnp.float32)
     if keep is not None:
         dh_d = jnp.where(keep, dh_d * inv, 0.0)
-    dh = jnp.where(h > 0, dh_d, 0.0)
+    dh = jnp.where(h_f > 0.0, dh_d, 0.0)
     dh_b = dh.astype(dy.dtype)
 
     db1_ref[...] += jnp.sum(dh, axis=0, keepdims=True)
@@ -124,19 +138,19 @@ def _bwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, dy_ref,
     dx_ref[...] = dx.astype(dx_ref.dtype)
 
 
-def _specs(d_in, d_hidden, d_out):
+def _specs(d_in, d_hidden, d_out, bm):
     def blk(i, *_):
         return (i, 0)
 
     def const(i, *_):
         return (0, 0)
 
-    x_spec = pl.BlockSpec((BM, d_in), blk, memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((bm, d_in), blk, memory_space=pltpu.VMEM)
     w1_spec = pl.BlockSpec((d_in, d_hidden), const, memory_space=pltpu.VMEM)
     b1_spec = pl.BlockSpec((1, d_hidden), const, memory_space=pltpu.VMEM)
     w2_spec = pl.BlockSpec((d_hidden, d_out), const, memory_space=pltpu.VMEM)
     b2_spec = pl.BlockSpec((1, d_out), const, memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((BM, d_out), blk, memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((bm, d_out), blk, memory_space=pltpu.VMEM)
     return x_spec, w1_spec, b1_spec, w2_spec, b2_spec, o_spec
 
 
@@ -161,7 +175,7 @@ def _fused_forward(x, w1, b1, w2, b2, seed, rate):
     d_out = w2.shape[1]
     t, inv = _rate_to_t(rate)
     x_spec, w1_spec, b1_spec, w2_spec, b2_spec, o_spec = _specs(
-        d_in, d_hidden, d_out)
+        d_in, d_hidden, d_out, BM)
     kernel = functools.partial(_fwd_kernel, t=t, inv=inv)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -189,7 +203,7 @@ def _bwd_rule(rate, residuals, dy):
     d_out = w2.shape[1]
     t, inv = _rate_to_t(rate)
     x_spec, w1_spec, b1_spec, w2_spec, b2_spec, o_spec = _specs(
-        d_in, d_hidden, d_out)
+        d_in, d_hidden, d_out, BM)
     kernel = functools.partial(_bwd_kernel, t=t, inv=inv)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -233,6 +247,10 @@ def fused_ffn(params, x: jax.Array, rng: Optional[jax.Array] = None,
     for s in lead:
         n *= s
     if not supported(n, d_in, w1.shape[1], w2.shape[1]):
+        return None
+    # fp32 activations double every VMEM tile: the backward measured 1 MB
+    # over the 16 MB scoped limit at base geometry -- bf16/fp16 only
+    if jnp.dtype(x.dtype).itemsize > 2:
         return None
     if jax.default_backend() != "tpu" and not INTERPRET:
         return None
