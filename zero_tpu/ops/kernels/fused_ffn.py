@@ -250,7 +250,8 @@ def fused_ffn(params, x: jax.Array, rng: Optional[jax.Array] = None,
         return None
     # fp32 activations double every VMEM tile: the backward measured 1 MB
     # over the 16 MB scoped limit at base geometry -- bf16/fp16 only
-    if jnp.dtype(x.dtype).itemsize > 2:
+    # (the CPU interpreter has no VMEM limit)
+    if jnp.dtype(x.dtype).itemsize > 2 and not INTERPRET:
         return None
     if jax.default_backend() != "tpu" and not INTERPRET:
         return None
