@@ -36,11 +36,14 @@ elif variant == "fused_ffn":
 elif variant == "fused_ffn_nodrop":
     over = dict(use_fused_ffn=True, dropout=0.0, residual_dropout=0.0,
                 relu_dropout=0.0, attention_dropout=0.0)
+elif variant == "donate":
+    pass
 else:
     raise SystemExit("unknown variant %s" % variant)
 
 cfg = _base_config(**over)
-out = bench_train(cfg, rows=256, src_len=128, tgt_len=128, vocab_hi=30000)
+out = bench_train(cfg, rows=256, src_len=128, tgt_len=128, vocab_hi=30000,
+                  donate=(variant == "donate"))
 print(variant, "->", out.get("median_work_per_sec"), "tok/s, mfu",
       out.get("mfu_median"), out.get("windows_work_per_sec"),
       out.get("error", ""))

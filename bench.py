@@ -109,7 +109,7 @@ def _measure_windows(run_window, work_per_window, flops_per_work, peak):
 
 
 def bench_train(cfg, rows, src_len, tgt_len, flops_per_step=None,
-                vocab_hi=None):
+                vocab_hi=None, donate=False):
     import jax
 
     from zero_tpu.models.base import get_model
@@ -122,7 +122,7 @@ def bench_train(cfg, rows, src_len, tgt_len, flops_per_step=None,
     mesh = make_mesh(cfg)
     model = get_model(cfg.model_name)
     state = init_train_state(model, cfg, jax.random.PRNGKey(0), mesh)
-    step_fn = make_train_step(model, cfg, mesh, donate=False)
+    step_fn = make_train_step(model, cfg, mesh, donate=donate)
 
     cycles = max(int(cfg.update_cycle), 1)
     rs = np.random.RandomState(0)
