@@ -245,3 +245,55 @@ def test_fused_ffn_model_path_matches_xla_path():
     l_f = float(model.train_fn(params, feats, cfg_f,
                                jax.random.PRNGKey(1))["loss"])
     assert abs(l_x - l_f) < 1e-4, (l_x, l_f)
+
+
+# -- streaming kernel block skipping (interpret mode on CPU) -------------------
+
+
+def test_streaming_kernel_causal_skip_interpret(monkeypatch):
+    """Run the REAL streaming kernels (not the XLA fallback) through the
+    Pallas interpreter with shapes that exercise skipped above-diagonal
+    blocks and clamped index maps (lq=32 bq=32? no: bq=32, lk=256 bk=128
+    -> q-block 0 skips k-block 1)."""
+    monkeypatch.setattr(sa_mod, "INTERPRET", True)
+    B, H, D = 1, 2, 8
+    lq, lk = 32, 256
+    q = _rand(1, B, H, lq, D)
+    k = _rand(2, B, H, lk, D)
+    v = _rand(3, B, H, lk, D)
+    mask = jnp.ones((B, lk)).at[0, 200:].set(0)
+
+    o1 = sa_mod.streaming_attention(q, k, v, mask, causal=True)
+    # reference over the causal rectangle: rows 0..31 against cols 0..255
+    dh = q.shape[-1]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * dh ** -0.5
+    s = jnp.where(mask[:, None, None, :] > 0, s, -1e30)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 1)
+    s = jnp.where((rows >= cols)[None, None], s, -1e30)
+    o2 = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1).astype(q.dtype), v)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_kernel_causal_skip_grads_interpret(monkeypatch):
+    monkeypatch.setattr(sa_mod, "INTERPRET", True)
+    B, H, D = 1, 1, 8
+    lq, lk = 16, 256
+    q = _rand(1, B, H, lq, D)
+    k = _rand(2, B, H, lk, D)
+    v = _rand(3, B, H, lk, D)
+    mask = jnp.ones((B, lk))
+
+    def loss_kern(q, k, v):
+        return jnp.sum(sa_mod.streaming_attention(
+            q, k, v, mask, causal=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref(q, k, v, mask, True) ** 2)
+
+    g1 = jax.grad(loss_kern, (0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

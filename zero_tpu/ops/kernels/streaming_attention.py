@@ -35,6 +35,8 @@ NEG_INF = -1e30
 # into 1.02x vs XLA; bk=2048 exceeds the 16MB scoped-VMEM kernel stack
 DEFAULT_BQ = 512
 DEFAULT_BK = 1024
+# tests flip this to run the kernels through the Pallas interpreter on CPU
+INTERPRET = False
 
 
 def _blocks(lq: int, lk: int):
@@ -308,6 +310,7 @@ def _streaming_forward(q, k, v, pad_mask, causal, dropout_rate, seed):
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((bh, lq, dh), q.dtype),
                    jax.ShapeDtypeStruct((bh, 1, lq), jnp.float32)],
+        interpret=INTERPRET,
     )(seed, q3, k3, v3, pad_mask[:, None, :])
     return o.reshape(b, h, lq, dh), lse
 
@@ -358,6 +361,7 @@ def _bwd_rule(causal, dropout_rate, residuals, g):
             scratch_shapes=[pltpu.VMEM((bq, dh), jnp.float32)],
         ),
         out_shape=[jax.ShapeDtypeStruct((bh, lq, dh), q.dtype)],
+        interpret=INTERPRET,
     )(seed, q3, k3, v3, mask3, lse, delta, do3)[0]
 
     q_spec, kv_spec, mask_spec, row_spec = _mk_specs(h, bq, bk, dh,
@@ -377,6 +381,7 @@ def _bwd_rule(causal, dropout_rate, residuals, g):
         ),
         out_shape=[jax.ShapeDtypeStruct((bh, lk, dh), jnp.float32),
                    jax.ShapeDtypeStruct((bh, lk, dh), jnp.float32)],
+        interpret=INTERPRET,
     )(seed, q3, k3, v3, mask3, lse, delta, do3)
     return (dq.reshape(b, h, lq, dh),
             dk.reshape(b, h, lk, dh).astype(k.dtype),
@@ -404,7 +409,8 @@ def streaming_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     else:
         dropout_rate = 0.0
         seed = jnp.zeros((1,), jnp.int32)
-    if jax.default_backend() != "tpu" or not supported(lq, lk):
+    if (jax.default_backend() != "tpu" and not INTERPRET) \
+            or not supported(lq, lk):
         from zero_tpu.ops.kernels.fused_attention import _xla_equivalent
         return _xla_equivalent(q, k, v, pad_mask, causal, dropout_rate, rng)
     return _streaming_attention(q, k, v, pad_mask, seed, causal,
