@@ -366,6 +366,11 @@ def main():
                              batch_rows=4 if SMOKE else 32,
                              src_len=8 if SMOKE else 32))
     if not SMOKE:
+        # 3b. serving-batch decode: throughput at B=128 (latency-bound
+        #     small batches underutilise the chip)
+        run("transformer_base_decode_beam4_b128",
+            lambda: bench_decode("transformer", batch_rows=128, src_len=32))
+    if not SMOKE:
         # 4. deep 20L fuse + depth-scaled init (BASELINE.json config 4)
         run("deep20_fuse_train", bench_deep20)
         # 5. AFS speech translation preset (BASELINE.json config 5)
