@@ -19,6 +19,11 @@ from zero_tpu.ops.kernels import streaming_attention as sa
 def timeit(fn, args, iters=12):
     o = fn(*args)
     jax.block_until_ready(o)
+    # drain the dispatch pipeline with a scalar fetch BEFORE timing:
+    # block_until_ready alone has unclear semantics over the tunnel and
+    # the first timed window otherwise absorbs queued prior work
+    float(jnp.sum((o[0] if isinstance(o, tuple) else o)
+                  .astype(jnp.float32)[:1, :1, :1]))
     t0 = time.perf_counter()
     for _ in range(iters):
         o = fn(*args)

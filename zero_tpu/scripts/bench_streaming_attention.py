@@ -23,6 +23,10 @@ from zero_tpu.ops.kernels.streaming_attention import streaming_attention
 def timeit(fn, args, iters=12):
     o = fn(*args)
     jax.block_until_ready(o)
+    # drain the pipeline with a scalar fetch before timing (tunnel
+    # protocol: block_until_ready alone has unclear semantics)
+    float(jnp.sum((o[0] if isinstance(o, tuple) else o)
+                  .astype(jnp.float32)[:1, :1, :1]))
     t0 = time.perf_counter()
     for _ in range(iters):
         o = fn(*args)
