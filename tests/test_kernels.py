@@ -297,3 +297,29 @@ def test_streaming_kernel_causal_skip_grads_interpret(monkeypatch):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_decode_cross_attention_matches_reference():
+    B, beams, H, S, Dh = 3, 4, 4, 24, 16
+    hidden = H * Dh
+    q = _rand(1, B, beams, hidden)
+    mk = _rand(2, B, S, hidden)
+    mv = _rand(3, B, S, hidden)
+    mask = jnp.ones((B, S)).at[0, 17:].set(0).at[2, 5:].set(0)
+    o = da_mod.decode_cross_attention(q, mk, mv, mask, H, interpret=True)
+    # reference: per-beam single-query attention over the same memory
+    for bm in range(beams):
+        qh = q[:, bm:bm + 1].reshape(B, 1, H, Dh).transpose(0, 2, 1, 3)
+        kh = mk.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+        vh = mv.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+        r = _ref(qh, kh, vh, mask, causal=False)
+        r = r.transpose(0, 2, 1, 3).reshape(B, hidden)
+        np.testing.assert_allclose(np.asarray(o[:, bm]), np.asarray(r),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_decode_cross_supported_bounds():
+    assert da_mod.cross_supported(4, 64, 512, 8)
+    assert da_mod.cross_supported(1, 2048, 512, 8)
+    assert not da_mod.cross_supported(65, 64, 512, 8)    # beam fold cap
+    assert not da_mod.cross_supported(4, 4096, 512, 8)   # VMEM residency

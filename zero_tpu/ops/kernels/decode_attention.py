@@ -55,6 +55,16 @@ def supported(lq: int, t_max: int, hidden: int, num_heads: int) -> bool:
             and t_max * hidden <= MAX_CACHE_ELEMS)
 
 
+def cross_supported(beams: int, s_len: int, hidden: int,
+                    num_heads: int) -> bool:
+    """Cross-kernel eligibility: beam-folded queries against one memory
+    block per batch row; bounded beam fold keeps the [S, beams*H] logits
+    tile narrow."""
+    return (1 <= beams <= 64
+            and hidden % num_heads == 0
+            and s_len * hidden <= MAX_CACHE_ELEMS)
+
+
 def _kernel(time_ref, q_ref, k_ref, v_ref, o_ref, *, num_heads: int):
     t = time_ref[0]
     k = k_ref[0]                                 # [T, hidden]
@@ -87,6 +97,93 @@ def _kernel(time_ref, q_ref, k_ref, v_ref, o_ref, *, num_heads: int):
     sel_f = sel.astype(jnp.float32)
     o = jnp.sum(mixed * sel_f, axis=0, keepdims=True)            # [1, hidden]
     o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _cross_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, num_heads: int):
+    """Beam-folded single-step cross attention: [beams, hidden] queries
+    against one batch row's [S, hidden] memory under a [S] pad mask.
+
+    Same lane-preserving head trick as _kernel, with a (beam, head)
+    column block: logits S = K @ q_headsᵀ -> [S, beams*H]; the output
+    unfolds the mix back per beam by summing each beam's H head rows
+    through the ownership mask."""
+    k = k_ref[0]                                 # [S, hidden]
+    v = v_ref[0]                                 # [S, hidden]
+    q = q_ref[0]                                 # [beams, hidden]
+    mask = mask_ref[0, 0, :]                     # [S] float
+    s_max, hidden = k.shape
+    beams = q.shape[0]
+    dh = hidden // num_heads
+    scale = dh ** -0.5
+
+    head_of_lane = jax.lax.broadcasted_iota(
+        jnp.int32, (num_heads, hidden), 1) // dh
+    head_row = jax.lax.broadcasted_iota(
+        jnp.int32, (num_heads, hidden), 0)
+    sel = (head_of_lane == head_row).astype(q.dtype)   # [H, hidden]
+
+    q_heads = (q[:, None, :] * sel[None, :, :]).reshape(
+        beams * num_heads, hidden)
+    # keep S on the LANE dim throughout: [beams*H, S] logits let the
+    # [1, S] pad mask broadcast across rows (a minor-dim insertion on
+    # the i1 mask is unsupported by Mosaic), and the softmax reduces
+    # over lanes
+    s = jax.lax.dot_general(q_heads, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s * scale                                # [beams*H, S]
+    s = jnp.where(mask[None, :] > 0, s, NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    w = (p / jnp.sum(p, axis=1, keepdims=True)).astype(v.dtype)
+
+    mixed = jax.lax.dot_general(w, v, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    mixed = mixed.reshape(beams, num_heads, hidden)
+    o = jnp.sum(mixed * sel[None].astype(jnp.float32), axis=1)
+    o_ref[0] = o.astype(o_ref.dtype)             # [beams, hidden]
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def decode_cross_attention(q: jax.Array, mk: jax.Array, mv: jax.Array,
+                           mask: jax.Array, num_heads: int,
+                           interpret: bool = False) -> jax.Array:
+    """Beam-folded cross attention over precomputed memory projections.
+
+    q: [B, beams, hidden] (beam queries folded per batch row, the
+    beam-invariant-memory layout of ops/attention.py:cross_attn_step);
+    mk, mv: [B, S, hidden]; mask: [B, S] 1/0 pad mask.
+    Returns [B, beams, hidden] in the query dtype.
+
+    NOT WIRED into cross_attn_step: measured on v5e (MT geometry, B=32
+    beam-4, src 32) it is speed-neutral for the base transformer
+    (137.3 vs 136.2 ms/batch with the self-attn kernel alone) and
+    slightly SLOWER for AAN (39.4 vs 38.5 ms) — XLA's batched matmuls
+    over the precomputed mk/mv are already optimal, unlike the
+    per-step-growing self-attn cache read this file's main kernel wins
+    on. Kept (with interpret-mode tests) for long-memory revisits,
+    e.g. speech encoders at thousands of frames.
+    """
+    b, beams, hidden = q.shape
+    s_len = mk.shape[1]
+    mask3 = mask.astype(jnp.float32).reshape(b, 1, s_len)
+
+    def row_map(i, *_):
+        return (i, 0, 0)
+
+    q_spec = pl.BlockSpec((1, beams, hidden), row_map,
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, s_len, hidden), row_map,
+                           memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((1, 1, s_len), row_map,
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_cross_kernel, num_heads=num_heads),
+        grid=(b,),
+        in_specs=[q_spec, kv_spec, kv_spec, mask_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b, beams, hidden), q.dtype),
+        interpret=interpret,
+    )(q, mk, mv, mask3)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
