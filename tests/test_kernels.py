@@ -252,19 +252,24 @@ def test_fused_ffn_model_path_matches_xla_path():
 
 def test_streaming_kernel_causal_skip_interpret(monkeypatch):
     """Run the REAL streaming kernels (not the XLA fallback) through the
-    Pallas interpreter with shapes that exercise skipped above-diagonal
-    blocks and clamped index maps (lq=32 bq=32? no: bq=32, lk=256 bk=128
-    -> q-block 0 skips k-block 1)."""
+    Pallas interpreter with shapes that force a multi-block grid with
+    skipped above-diagonal blocks: lq=lk=384 tiles as bq=bk=128 (3x3 grid,
+    blocks (0,1), (0,2), (1,2) strictly above the diagonal are skipped and
+    their index maps clamp)."""
     monkeypatch.setattr(sa_mod, "INTERPRET", True)
     B, H, D = 1, 2, 8
-    lq, lk = 32, 256
+    lq, lk = 384, 384
+    # guard against a future block-size change silently re-vacuating this
+    # test: the grid must have >1 block on each axis
+    bq, bk = sa_mod._blocks(lq, lk)
+    assert lq // bq > 1 and lk // bk > 1, (bq, bk)
     q = _rand(1, B, H, lq, D)
     k = _rand(2, B, H, lk, D)
     v = _rand(3, B, H, lk, D)
-    mask = jnp.ones((B, lk)).at[0, 200:].set(0)
+    mask = jnp.ones((B, lk)).at[0, 300:].set(0)
 
     o1 = sa_mod.streaming_attention(q, k, v, mask, causal=True)
-    # reference over the causal rectangle: rows 0..31 against cols 0..255
+    # dense reference over the full causal square
     dh = q.shape[-1]
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * dh ** -0.5
     s = jnp.where(mask[:, None, None, :] > 0, s, -1e30)
@@ -279,7 +284,9 @@ def test_streaming_kernel_causal_skip_interpret(monkeypatch):
 def test_streaming_kernel_causal_skip_grads_interpret(monkeypatch):
     monkeypatch.setattr(sa_mod, "INTERPRET", True)
     B, H, D = 1, 1, 8
-    lq, lk = 16, 256
+    lq, lk = 384, 384
+    bq, bk = sa_mod._blocks(lq, lk)
+    assert lq // bq > 1 and lk // bk > 1, (bq, bk)
     q = _rand(1, B, H, lq, D)
     k = _rand(2, B, H, lk, D)
     v = _rand(3, B, H, lk, D)

@@ -102,3 +102,63 @@ def test_missing_file_returns_none(tmp_path, corpus):
     src, tgt, vocab_file = corpus
     assert native.encode_corpus(str(tmp_path / "nope"), tgt,
                                 vocab_file, vocab_file, 4) is None
+
+
+def test_blank_vocab_line_keeps_python_ids(tmp_path):
+    """A blank vocab line becomes a real '' token in vocab.py; the native
+    loader must assign the same ids to everything after it."""
+    vocab_file = tmp_path / "v.txt"
+    vocab_file.write_text("<pad>\n<unk>\n<eos>\nalpha\n\nbeta\n")
+    v = Vocab(str(vocab_file))
+    assert v.get_id("") == 4 and v.get_id("beta") == 5
+    lib = native._load()
+    h = lib.zt_vocab_load(str(vocab_file).encode())
+    assert lib.zt_vocab_size(h) == v.size()
+    lib.zt_vocab_free(h)
+    src = tmp_path / "c.src"
+    tgt = tmp_path / "c.tgt"
+    src.write_text("alpha beta\n")
+    tgt.write_text("beta alpha\n")
+    py = list(Dataset(str(src), str(tgt), v, v, max_len=8,
+                      use_native=False)._tokenize_serial())
+    nat = native.encode_corpus(str(src), str(tgt), str(vocab_file),
+                               str(vocab_file), 8)
+    assert [(list(np.asarray(s)), list(np.asarray(t))) for s, t in nat] == \
+        [(list(s), list(t)) for s, t in py]
+
+
+def test_carriage_return_newlines_match_python(tmp_path):
+    """Lone-\\r and \\r\\n terminated corpora must not misalign pairs:
+    python text mode treats both as line breaks."""
+    vocab_file = tmp_path / "v.txt"
+    vocab_file.write_text("a\nb\nc\n")
+    v = Vocab(str(vocab_file))
+    src = tmp_path / "c.src"
+    tgt = tmp_path / "c.tgt"
+    src.write_bytes(b"a b\rb c\r\nc a\r")
+    tgt.write_bytes(b"c\ra b\r\nb\n")
+    py = list(Dataset(str(src), str(tgt), v, v, max_len=8,
+                      use_native=False)._tokenize_serial())
+    assert len(py) == 3
+    nat = native.encode_corpus(str(src), str(tgt), str(vocab_file),
+                               str(vocab_file), 8)
+    assert [(list(np.asarray(s)), list(np.asarray(t))) for s, t in nat] == \
+        [(list(s), list(t)) for s, t in py]
+
+
+def test_invalid_utf8_falls_back_to_python(tmp_path):
+    """Invalid UTF-8 must not be silently decoded latin-1: the native path
+    reports failure so the caller's python path raises as it always did."""
+    vocab_file = tmp_path / "v.txt"
+    vocab_file.write_text("a\nb\n")
+    src = tmp_path / "c.src"
+    tgt = tmp_path / "c.tgt"
+    src.write_bytes(b"a \xff\xfe b\n")
+    tgt.write_bytes(b"b a\n")
+    assert native.encode_corpus(str(src), str(tgt), str(vocab_file),
+                                str(vocab_file), 8) is None
+    # invalid vocab file likewise
+    bad_vocab = tmp_path / "bad.txt"
+    bad_vocab.write_bytes(b"a\n\xc3\x28\n")
+    lib = native._load()
+    assert not lib.zt_vocab_load(str(bad_vocab).encode())

@@ -81,7 +81,7 @@ def test_prefetcher_propagates_errors():
 
 
 def test_prefetcher_passthrough_mode():
-    assert list(Prefetcher(lambda: iter(range(5)), num_threads=0)) == \
+    assert list(Prefetcher(lambda: iter(range(5)), background=False)) == \
         list(range(5))
 
 

@@ -87,3 +87,38 @@ def test_async_save_and_restore(tmp_path):
     s.wait()
     assert _read_index(str(tmp_path)) == ["model-10", "model-20"]
     assert s.best_score == 20.0
+
+
+def test_early_stop_patience_counts_exact_ties():
+    """A score exactly equal to the historical best must NOT reset patience:
+    the reference requires strict improvement (main.py:389-397)."""
+    from zero_tpu.recorder import Recorder
+    from zero_tpu.train import record_eval_score
+
+    rec = Recorder()
+    rec.history_scores = []
+    rec.valid_script_scores = []
+    rec.bad_counter = 0
+    rec.estop = False
+
+    assert not record_eval_score(rec, 100, 10.0, estop_patience=2)
+    assert rec.bad_counter == 0
+    # plateau: exact ties increment the counter
+    assert not record_eval_score(rec, 200, 10.0, estop_patience=2)
+    assert rec.bad_counter == 1
+    assert not record_eval_score(rec, 300, 10.0, estop_patience=2)
+    assert rec.bad_counter == 2
+    assert record_eval_score(rec, 400, 10.0, estop_patience=2)
+    assert rec.estop
+    # strict improvement resets
+    rec2 = Recorder()
+    rec2.history_scores = []
+    rec2.valid_script_scores = []
+    rec2.bad_counter = 0
+    rec2.estop = False
+    record_eval_score(rec2, 100, 10.0, estop_patience=2)
+    record_eval_score(rec2, 200, 9.0, estop_patience=2)
+    assert rec2.bad_counter == 1
+    record_eval_score(rec2, 300, 10.5, estop_patience=2)
+    assert rec2.bad_counter == 0
+    assert rec2.valid_script_scores == [[100, 10.0], [200, 9.0], [300, 10.5]]

@@ -55,8 +55,7 @@ def decoding(decode_fn, dataset, params):
         lambda: dataset.batcher(params.eval_batch_size,
                                 buffer_size=params.buffer_size,
                                 shuffle=False, train=False),
-        maxsize=params.output_queue_size,
-        num_threads=max(params.process_num, 1))
+        maxsize=params.output_queue_size)
 
     very_begin = time.time()
     for bidx, data in enumerate(queue):
@@ -89,8 +88,7 @@ def scoring(score_fn, dataset, params):
         lambda: dataset.batcher(params.eval_batch_size,
                                 buffer_size=params.buffer_size,
                                 shuffle=False, train=False),
-        maxsize=params.output_queue_size,
-        num_threads=max(params.process_num, 1))
+        maxsize=params.output_queue_size)
 
     for bidx, data in enumerate(queue):
         start = time.time()

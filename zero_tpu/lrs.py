@@ -78,13 +78,19 @@ class GNMTPDecayLr(Lr):
 
     def step(self, step):
         t = float(step)
-        p = float(self.warmup_steps)
-        n = float(self.nstable)
-        s = float(self.lrdecay_start)
-        e = float(self.lrdecay_end)
-        decay = min(1.0 + t * (n - 1) / (n * p), n)
-        decay = min(decay, n * (2 * n) ** ((s - n * t) / (e - s)))
-        self.lrate = self.init_lrate * decay
+        warmup = float(self.warmup_steps)
+        peak = float(self.nstable)
+        decay_start = float(self.lrdecay_start)
+        decay_end = float(self.lrdecay_end)
+        # Linear warmup from 1x toward the peak multiplier over the warmup
+        # window, saturating at `peak`.
+        ramp = min(1.0 + t * (peak - 1.0) / (peak * warmup), peak)
+        # Exponential decay: starting from `peak`, shrink by a factor of
+        # 1/(2*peak) for every (decay_end - decay_start)/peak steps past
+        # decay_start/peak.
+        span = decay_end - decay_start
+        decayed = peak * (2.0 * peak) ** ((decay_start - peak * t) / span)
+        self.lrate = self.init_lrate * min(ramp, decayed)
 
 
 class EpochDecayLr(Lr):

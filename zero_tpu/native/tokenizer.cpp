@@ -18,6 +18,9 @@
 //   * a pair is skipped when either stripped line is empty; iteration
 //     stops at the first exhausted file (data.py:_raw_pairs)
 //   * each side truncates to max_len tokens then appends <eos>
+//   * text-mode universal newlines ('\n', '\r\n', lone '\r'); blank vocab
+//     lines insert a real '' token; invalid UTF-8 returns failure so the
+//     caller falls back to the python path (which raises)
 //
 // Build: g++ -O3 -shared -fPIC -std=c++17 -pthread (see native/__init__.py).
 
@@ -166,6 +169,9 @@ struct LineIndex {
     std::vector<std::pair<int64_t, int64_t>> lines;  // (start, len) per line
 };
 
+// Line terminators follow python text-mode universal newlines: '\n',
+// '\r\n', and lone '\r' all end a line (vocab.py/data.py read files in
+// text mode, so \r-terminated corpora must not misalign sentence pairs).
 void index_lines(const std::string& buf, LineIndex* out) {
     out->base = buf.data();
     int64_t start = 0;
@@ -174,9 +180,44 @@ void index_lines(const std::string& buf, LineIndex* out) {
         if (buf[i] == '\n') {
             out->lines.emplace_back(start, i - start);
             start = i + 1;
+        } else if (buf[i] == '\r') {
+            out->lines.emplace_back(start, i - start);
+            if (i + 1 < n && buf[i + 1] == '\n') ++i;
+            start = i + 1;
         }
     }
     if (start < n) out->lines.emplace_back(start, n - start);
+}
+
+// Strict UTF-8 validation matching python's file decode: rejects overlong
+// encodings, surrogates, and code points > U+10FFFF. Files that fail take
+// the python path, which raises UnicodeDecodeError exactly like the
+// pure-python pipeline.
+bool valid_utf8(const std::string& buf) {
+    const unsigned char* s =
+        reinterpret_cast<const unsigned char*>(buf.data());
+    size_t n = buf.size(), i = 0;
+    while (i < n) {
+        unsigned char c = s[i];
+        if (c < 0x80) { ++i; continue; }
+        int len;
+        uint32_t cp, min_cp;
+        if ((c & 0xE0) == 0xC0) { len = 2; cp = c & 0x1F; min_cp = 0x80; }
+        else if ((c & 0xF0) == 0xE0) { len = 3; cp = c & 0x0F;
+                                       min_cp = 0x800; }
+        else if ((c & 0xF8) == 0xF0) { len = 4; cp = c & 0x07;
+                                       min_cp = 0x10000; }
+        else return false;
+        if (i + static_cast<size_t>(len) > n) return false;
+        for (int j = 1; j < len; ++j) {
+            if ((s[i + static_cast<size_t>(j)] & 0xC0) != 0x80) return false;
+            cp = (cp << 6) | (s[i + static_cast<size_t>(j)] & 0x3F);
+        }
+        if (cp < min_cp || cp > 0x10FFFF) return false;
+        if (cp >= 0xD800 && cp <= 0xDFFF) return false;
+        i += static_cast<size_t>(len);
+    }
+    return true;
 }
 
 bool read_file(const char* path, std::string* out) {
@@ -198,7 +239,7 @@ extern "C" {
 // read failure).
 void* zt_vocab_load(const char* path) {
     auto* v = new NativeVocab();
-    if (!read_file(path, &v->storage)) {
+    if (!read_file(path, &v->storage) || !valid_utf8(v->storage)) {
         delete v;
         return nullptr;
     }
@@ -213,7 +254,9 @@ void* zt_vocab_load(const char* path) {
         std::string_view tok =
             strip_ws(std::string_view(idx.base + start,
                                       static_cast<size_t>(len)));
-        if (tok.empty()) continue;
+        // vocab.py inserts the stripped line unconditionally, so a blank
+        // line becomes a real '' token with its own id -- skipping it
+        // would shift every subsequent id
         if (v->word2id.emplace(tok, next_id).second) ++next_id;
     }
     return v;
@@ -236,7 +279,8 @@ void* zt_encode_corpus(const char* src_path, const char* tgt_path,
     auto* sv = static_cast<NativeVocab*>(src_vocab);
     auto* tv = static_cast<NativeVocab*>(tgt_vocab);
     std::string src_buf, tgt_buf;
-    if (!read_file(src_path, &src_buf) || !read_file(tgt_path, &tgt_buf)) {
+    if (!read_file(src_path, &src_buf) || !read_file(tgt_path, &tgt_buf) ||
+        !valid_utf8(src_buf) || !valid_utf8(tgt_buf)) {
         return nullptr;
     }
     LineIndex src_idx, tgt_idx;

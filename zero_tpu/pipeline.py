@@ -30,10 +30,10 @@ class Prefetcher:
     """
 
     def __init__(self, gen_fn: Callable[[], Iterator], maxsize: int = 100,
-                 num_threads: int = 1):
+                 background: bool = True):
         self._gen_fn = gen_fn
         self._maxsize = maxsize
-        self._passthrough = num_threads <= 0
+        self._passthrough = not background
         self._queue: Optional[queue.Queue] = None
         self._thread: Optional[threading.Thread] = None
         self._error: Optional[BaseException] = None

@@ -234,8 +234,7 @@ def train(params) -> bool:
                 else params.token_size,
                 buffer_size=params.buffer_size,
                 shuffle=params.shuffle_batch, train=True),
-            maxsize=params.output_queue_size,
-            num_threads=max(params.process_num, 1))
+            maxsize=params.output_queue_size)
 
         def grouped_device_batches():
             """update_cycle grouping + stacking + host->device transfer.
@@ -268,7 +267,7 @@ def train(params) -> bool:
                                                      batch_axis=1)
                 yield device_batch, token_count, shapes, lidx, sample_batch
 
-        feed = Prefetcher(grouped_device_batches, maxsize=2, num_threads=1)
+        feed = Prefetcher(grouped_device_batches, maxsize=2)
 
         # tokens/s is measured over the whole disp interval (fetch-to-fetch):
         # dispatch is deeply pipelined on TPU, so the last step's dispatch
@@ -330,7 +329,9 @@ def train(params) -> bool:
             if params.sample_freq > 0 and step % params.sample_freq == 0:
                 _sample_decode(params, decode, _eval_weights(params, state),
                                batch)
-                window_start = time.time()  # keep the pause out of tokens/s
+                # keep the pause out of tokens/s (drop the window's tokens)
+                window_start = time.time()
+                window_tokens = 0
 
             if params.eval_freq > 0 and step % params.eval_freq == 0:
                 bleu, _ = _dev_eval(
@@ -338,24 +339,20 @@ def train(params) -> bool:
                     os.path.join(params.output_dir, "trans.txt"))
                 log.info("Step %d, BLEU %.4f, Best BLEU %.4f", step, bleu,
                          max(saver.best_score, bleu))
-                recorder.history_scores.append([step, float(bleu)])
-                recorder.valid_script_scores.append([step, float(bleu)])
+                stop_now = record_eval_score(recorder, step, float(bleu),
+                                             params.estop_patience)
                 saver.save({"params": state.params, "opt": state.opt_state,
                             "ema": state.ema}, step, bleu)
                 recorder.save_to_json(
                     os.path.join(params.output_dir, "record.json"))
                 adapt_lr.after_eval(float(bleu))
-                # early stop on patience exhausted (main.py:381-401)
-                best = max(v[1] for v in recorder.history_scores)
-                if float(bleu) < best:
-                    recorder.bad_counter += 1
-                    if recorder.bad_counter > params.estop_patience:
-                        recorder.estop = True
-                        log.info("Early stopped at step %d", step)
-                        break
-                else:
-                    recorder.bad_counter = 0
-                window_start = time.time()  # keep the pause out of tokens/s
+                if stop_now:
+                    log.info("Early stopped at step %d", step)
+                    break
+                # keep the pause out of tokens/s (tokens counted during the
+                # pause window are dropped with it)
+                window_start = time.time()
+                window_tokens = 0
 
             if step >= params.max_training_steps:
                 should_stop = True
@@ -387,6 +384,28 @@ def train(params) -> bool:
     saver.wait()
     log.info("Training finished at step %d", step)
     return True
+
+
+def record_eval_score(recorder, step, bleu, estop_patience):
+    """Append an eval score and update the early-stop patience counter.
+
+    Patience counts every eval that does not STRICTLY improve on the
+    historical best: the reference checks ``bleu > max(prior scores)``
+    against the scores recorded BEFORE this eval (main.py:389-397), so an
+    exact tie with the best still increments the counter. Returns True when
+    patience is exhausted and training should stop.
+    """
+    prior_scores = [v[1] for v in recorder.valid_script_scores]
+    recorder.history_scores.append([step, bleu])
+    recorder.valid_script_scores.append([step, bleu])
+    if not prior_scores or bleu > max(prior_scores):
+        recorder.bad_counter = 0
+        return False
+    recorder.bad_counter += 1
+    if recorder.bad_counter > estop_patience:
+        recorder.estop = True
+        return True
+    return False
 
 
 def _eval_weights(params, state):
