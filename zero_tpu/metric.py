@@ -1,14 +1,18 @@
-"""Corpus evaluation metrics: BLEU-4, OTEM, UTEM, chrF.
+"""Corpus evaluation metrics: BLEU-4 (tokenized + detokenized/v13a),
+OTEM, UTEM, chrF.
 
 Behavioral counterparts of reference utils/metric.py (BLEU ":243-297",
-OTEM ":99-168", UTEM ":171-240"; the DeepLearnXMU Otem-Utem formulation)
-and scripts/chrF.py (Sennrich chrF3). Pure python, multi-reference aware,
-with the same closest-reference brevity penalty and optional +1 smoothing.
+OTEM ":99-168", UTEM ":171-240"; the DeepLearnXMU Otem-Utem formulation),
+scripts/chrF.py (Sennrich chrF3), and scripts/multi-bleu-detok.perl
+(mteval-v13a internal tokenization over detokenized text, ":192-214").
+Pure python, multi-reference aware, with the same closest-reference
+brevity penalty and optional +1 smoothing.
 """
 
 from __future__ import annotations
 
 import math
+import re
 from collections import defaultdict
 from typing import Dict, List, Sequence
 
@@ -205,6 +209,58 @@ def utem(cand: List[List[str]], refs: List[Sequence[List[str]]],
 
 
 # ---------------------------------------------------------------------------
+# Detokenized BLEU: mteval-v13a internal tokenization
+# (multi-bleu-detok.perl:192-214; identical to sacrebleu's "13a" tokenizer)
+# ---------------------------------------------------------------------------
+
+# the perl char class ([\{-\~\[-\` -\&\(-\+\:-\@\/]): ASCII punctuation
+# ranges {-~, [-`, space-&, (-+, :-@, and / -- periods/commas/digit-dashes
+# are handled by the context-sensitive rules below
+_V13A_SUBS = [
+    (re.compile(r"([\{-\~\[-\` -\&\(-\+\:-\@\/])"), r" \1 "),
+    (re.compile(r"([^0-9])([\.,])"), r"\1 \2 "),
+    (re.compile(r"([\.,])([^0-9])"), r" \1 \2"),
+    (re.compile(r"([0-9])(-)"), r"\1 \2 "),
+]
+
+
+def v13a_tokenize(line: str) -> List[str]:
+    """International (mteval-v13a) tokenization of a detokenized line.
+
+    Same normalization order as multi-bleu-detok.perl:192-214: strip
+    <skipped> tags, join hyphenated line breaks, unescape the four SGML
+    entities, then split punctuation with the v13a context rules.
+    """
+    line = line.replace("<skipped>", "")
+    line = line.replace("-\n", "")
+    line = line.replace("\n", " ")
+    line = line.replace("&quot;", '"')
+    line = line.replace("&amp;", "&")
+    line = line.replace("&lt;", "<")
+    line = line.replace("&gt;", ">")
+    line = " " + line + " "
+    for pat, rep in _V13A_SUBS:
+        line = pat.sub(rep, line)
+    return line.split()
+
+
+def detok_bleu(cand_lines: List[str], ref_lines: List[Sequence[str]],
+               lowercase: bool = False, n: int = 4) -> float:
+    """Corpus BLEU over detokenized text, v13a-tokenized internally.
+
+    Equivalent to multi-bleu-detok.perl (and to sacrebleu's BLEU with the
+    13a tokenizer, modulo its effective-order smoothing of empty orders):
+    scores are unaffected by how the system output was tokenized.
+    """
+    if lowercase:
+        cand_lines = [c.lower() for c in cand_lines]
+        ref_lines = [[r.lower() for r in rs] for rs in ref_lines]
+    cand = [v13a_tokenize(c) for c in cand_lines]
+    refs = [[v13a_tokenize(r) for r in rs] for rs in ref_lines]
+    return bleu(cand, refs, bp="closest", n=n)
+
+
+# ---------------------------------------------------------------------------
 # chrF (Popovic 2015, chrF3 like reference scripts/chrF.py)
 # ---------------------------------------------------------------------------
 
@@ -258,13 +314,17 @@ def main():
     parser.add_argument("-lc", action="store_true", help="lowercase")
     parser.add_argument("-bp", default="closest",
                         choices=["shortest", "closest"])
+    parser.add_argument("--detok", action="store_true",
+                        help="detokenized BLEU: apply mteval-v13a "
+                             "tokenization internally "
+                             "(multi-bleu-detok.perl equivalent)")
     parser.add_argument("candidate")
     parser.add_argument("reference")
     args = parser.parse_args()
 
-    def read(f):
+    def read_lines(f):
         with open(f) as r:
-            return [(line.strip().lower() if args.lc else line.strip()).split()
+            return [line.strip().lower() if args.lc else line.strip()
                     for line in r]
 
     ref_files = []
@@ -279,8 +339,14 @@ def main():
             print("no reference found:", args.reference, file=sys.stderr)
             sys.exit(1)
 
-    cand = read(args.candidate)
-    refs = list(zip(*[read(f) for f in ref_files]))
+    cand_lines = read_lines(args.candidate)
+    ref_lines = list(zip(*[read_lines(f) for f in ref_files]))
+    if args.detok:
+        print("detok BLEU-4 (v13a): {}".format(
+            detok_bleu(cand_lines, ref_lines)))
+        return
+    cand = [c.split() for c in cand_lines]
+    refs = [[r.split() for r in rs] for rs in ref_lines]
     print("OTEM-2/UTEM-4/BLEU-4: {}/{}/{}".format(
         otem(cand, refs, bp=args.bp, n=2),
         utem(cand, refs, bp=args.bp, n=4),
