@@ -1,8 +1,16 @@
-"""Worker process for the multi-host integration test (run via subprocess).
+"""Worker process for the multi-host integration tests (run via
+subprocess).
 
 Usage: python tests/dist_worker.py <coordinator> <nproc> <pid> <data_dir>
+           [mode] [max_steps]
 Each process owns 4 virtual CPU devices; the job trains the tiny copy
-task for a few steps with 8-way global data parallelism across 2 hosts.
+task with 8-way global data parallelism across 2 hosts.
+
+mode "batch" (default): fixed-size batches, no eval.
+mode "token": token bucketing (the deterministic shared shape schedule)
+    with in-training primary-host eval + sampling.
+max_steps: override max_training_steps (resume tests run the worker
+    twice with increasing values).
 """
 
 import os
@@ -16,7 +24,11 @@ jax.config.update("jax_platforms", "cpu")
 
 
 def main():
+    import logging
+    logging.basicConfig(level=logging.INFO, stream=sys.stdout)
     coordinator, nproc, pid, data_dir = sys.argv[1:5]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "batch"
+    max_steps = int(sys.argv[6]) if len(sys.argv) > 6 else 12
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
     from zero_tpu import run as cli
@@ -43,23 +55,35 @@ def main():
     p.num_decoder_layer = 1
     p.dropout = p.relu_dropout = p.residual_dropout = p.attention_dropout = 0.0
     p.max_len = 16
-    p.batch_or_token = "batch"
-    p.batch_size = 8
+    if mode == "token":
+        p.batch_or_token = "token"
+        p.token_size = 100
+        p.eval_freq = 8
+        p.sample_freq = 8
+        p.eval_batch_size = 8
+        p.beam_size = 2
+        p.decode_length = 12
+        p.decode_max_len = 24
+        p.src_dev_file = os.path.join(data_dir, "dev.src")
+        p.tgt_dev_file = os.path.join(data_dir, "dev.tgt")
+    else:
+        p.batch_or_token = "batch"
+        p.batch_size = 8
+        p.eval_freq = 0
+        p.sample_freq = 0
+        p.src_dev_file = ""
+        p.tgt_dev_file = ""
     p.lrate = 3e-3
     p.lrate_strategy = "vanilla"
-    p.max_training_steps = 12
+    p.max_training_steps = max_steps
     p.disp_freq = 4
-    p.save_freq = 12
-    p.eval_freq = 0
-    p.sample_freq = 0
+    p.save_freq = 6
     p.epoches = 50
     p.compilation_cache_dir = ""
     p.src_vocab_file = os.path.join(data_dir, "vocab.txt")
     p.tgt_vocab_file = os.path.join(data_dir, "vocab.txt")
     p.src_train_file = os.path.join(data_dir, "train.src")
     p.tgt_train_file = os.path.join(data_dir, "train.tgt")
-    p.src_dev_file = ""
-    p.tgt_dev_file = ""
     p.src_test_file = ""
     p.tgt_test_file = ""
     p.output_dir = os.path.join(data_dir, "out")
@@ -69,8 +93,10 @@ def main():
     if dist.is_primary():
         save_parameters(p, p.output_dir)
     p = cli.setup_recorder(p)
+    resumed_from = p.recorder.step
     graph.train(p)
-    print("WORKER_OK pid=%s step=%d" % (pid, p.recorder.step))
+    print("WORKER_OK pid=%s step=%d resumed_from=%d"
+          % (pid, p.recorder.step, resumed_from))
 
 
 if __name__ == "__main__":

@@ -33,6 +33,13 @@ class Inference(NamedTuple):
     init_cache: Callable
     decode_step: Callable
     decode_prefix: Optional[Callable] = None
+    # optional beam-reorder of the cache after each top-k:
+    #   reorder_cache(cache, beam_indices [B, K], batch, beam_size, time,
+    #                 span=1) -> cache
+    # When None the search permutes every cache leaf with a beam gather;
+    # models with ancestry-indexed KV pools (models/common.py) override it
+    # to update the ancestry index instead of copying the pools.
+    reorder_cache: Optional[Callable] = None
 
 
 class ModelSpec(NamedTuple):

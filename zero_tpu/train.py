@@ -141,6 +141,37 @@ def make_decode_fn(params, model=None, inference=None):
     return decode
 
 
+def _pad_group_batch(batch, host_group):
+    """Pad a host batch to the shape schedule of its cross-host group.
+
+    Every array key is padded to the per-key maximum over the group
+    (rows on axis 0, length on axis 1) so each key -- src/tgt, but also
+    speech transcript/context, whose lengths are independent of src/tgt
+    -- ends up shape-identical across hosts. Zero rows/columns are
+    ordinary padding: all-pad rows are legal everywhere in the framework
+    (shape-padding invariant).
+    """
+    out = dict(batch)
+
+    def pad_to(x, length, axis):
+        width = [(0, 0)] * x.ndim
+        width[axis] = (0, length - x.shape[axis])
+        return np.pad(x, width) if length > x.shape[axis] else x
+
+    for key, val in batch.items():
+        if not (hasattr(val, "shape") and getattr(val, "ndim", 0) >= 2):
+            continue
+        rows = max(b[key].shape[0] for b in host_group)
+        length = max(b[key].shape[1] for b in host_group)
+        out[key] = pad_to(pad_to(val, length, 1), rows, 0)
+    return out
+
+
+def _local_weights(weights):
+    """Materialize fully-replicated global params on this host."""
+    return jax.tree.map(lambda x: np.asarray(x), weights)
+
+
 def _dev_eval(params, decode, weights, dev_dataset, out_prefix: str):
     translations, scores, indices = evalu.decoding(
         lambda batch: decode(weights, batch), dev_dataset, params)
@@ -154,23 +185,26 @@ def train(params) -> bool:
     model = get_model(params.model_name)
     nproc = dist.process_count()
     pid = dist.process_index()
-    if nproc > 1:
-        # multi-host batches must be shape-identical across hosts: force
-        # fully fixed shapes, and restrict to the train step (in-training
-        # eval/sampling need a separate single-host run on the checkpoint)
-        if params.batch_or_token != "batch":
-            raise ValueError("multi-host training requires "
-                             "batch_or_token='batch' (fixed shapes)")
-        params.pad_seq_multiple = params.max_len
-        params.pad_batch_multiple = params.batch_size
-        if params.eval_freq > 0 or params.sample_freq > 0:
-            log.warning("multi-host: in-training eval/sampling disabled; "
-                        "evaluate checkpoints with a single-host run")
-            params.eval_freq = 0
-            params.sample_freq = 0
     mesh = make_mesh(params)
     log.info("Mesh: %s", mesh)
     data_par = int(mesh.shape["data"])
+    # Multi-host batches must be shape-identical across hosts. Token
+    # bucketing stays available: every host builds the SAME deterministic
+    # batch stream (np.random is seeded identically in run.py, and the
+    # old round-robin already relied on stream equality), takes one batch
+    # of each consecutive group of nproc, and pads it to the group's max
+    # shape -- a shared shape schedule with zero communication.
+    # In-training eval/sampling run on the primary host alone when the
+    # parameters are fully replicated (no model-axis sharding); the dev
+    # score is broadcast so lr schedules and early stop stay in sync.
+    eval_on_primary = nproc > 1 and int(mesh.shape["model"]) == 1
+    if nproc > 1 and int(mesh.shape["model"]) > 1 \
+            and (params.eval_freq > 0 or params.sample_freq > 0):
+        log.warning("multi-host with model parallelism: in-training "
+                    "eval/sampling disabled (params are not host-local); "
+                    "evaluate checkpoints with a single-host run")
+        params.eval_freq = 0
+        params.sample_freq = 0
 
     train_dataset = _make_dataset(params, params.src_train_file,
                                   params.tgt_train_file, train=True,
@@ -237,23 +271,32 @@ def train(params) -> bool:
             maxsize=params.output_queue_size)
 
         def grouped_device_batches():
-            """update_cycle grouping + stacking + host->device transfer.
+            """cross-host grouping + update_cycle grouping + stacking +
+            host->device transfer.
 
             Runs on the feed thread so the device_put of the NEXT batch
             overlaps the current step's execution (true double buffering;
-            PARITY §2.2)."""
+            PARITY §2.2). Multi-host: each process takes position `pid`
+            of every consecutive group of nproc batches, padded to the
+            group's max shape so the global batch (the concatenation
+            across hosts) is well-formed without communication.
+            """
             micro_group = []
+            host_group = []
             lidx = -1
             for batch in host_queue:
                 lidx += 1
-                # mid-epoch resume: skip consumed batches (main.py:257-264)
+                host_group.append(batch)
+                if len(host_group) < nproc:
+                    continue
+                mine = host_group[pid]
+                if nproc > 1:
+                    mine = _pad_group_batch(mine, host_group)
+                host_group = []
+                # mid-epoch resume: skip consumed groups (main.py:257-264)
                 if epoch == resume_epoch and lidx <= resume_lidx:
                     continue
-                # multi-host data parallelism: each process takes every
-                # nproc-th batch (the global batch is the concatenation)
-                if nproc > 1 and lidx % nproc != pid:
-                    continue
-                micro_group.append(batch)
+                micro_group.append(mine)
                 if len(micro_group) < cycle:
                     continue
                 stacked = stack_microbatches(
@@ -327,24 +370,47 @@ def train(params) -> bool:
                     os.path.join(params.output_dir, "record.json"))
 
             if params.sample_freq > 0 and step % params.sample_freq == 0:
-                _sample_decode(params, decode, _eval_weights(params, state),
-                               batch)
+                if nproc == 1:
+                    _sample_decode(params, decode,
+                                   _eval_weights(params, state), batch)
+                elif eval_on_primary and dist.is_primary():
+                    _sample_decode(params, decode, _local_weights(
+                        _eval_weights(params, state)), batch)
                 # keep the pause out of tokens/s (drop the window's tokens)
                 window_start = time.time()
                 window_tokens = 0
 
             if params.eval_freq > 0 and step % params.eval_freq == 0:
-                bleu, _ = _dev_eval(
-                    params, decode, _eval_weights(params, state), dev_dataset,
-                    os.path.join(params.output_dir, "trans.txt"))
+                if nproc == 1:
+                    bleu, _ = _dev_eval(
+                        params, decode, _eval_weights(params, state),
+                        dev_dataset,
+                        os.path.join(params.output_dir, "trans.txt"))
+                else:
+                    # primary host decodes with its replicated copy of the
+                    # weights; the score is broadcast so every host applies
+                    # the same lr/early-stop decision (main.py:356-404 runs
+                    # mid-training eval, and so does the multi-host rebuild)
+                    from jax.experimental import multihost_utils
+                    bleu = 0.0
+                    if dist.is_primary():
+                        bleu, _ = _dev_eval(
+                            params, decode,
+                            _local_weights(_eval_weights(params, state)),
+                            dev_dataset,
+                            os.path.join(params.output_dir, "trans.txt"))
+                    bleu = float(multihost_utils.broadcast_one_to_all(
+                        np.float32(bleu)))
                 log.info("Step %d, BLEU %.4f, Best BLEU %.4f", step, bleu,
                          max(saver.best_score, bleu))
                 stop_now = record_eval_score(recorder, step, float(bleu),
                                              params.estop_patience)
-                saver.save({"params": state.params, "opt": state.opt_state,
-                            "ema": state.ema}, step, bleu)
-                recorder.save_to_json(
-                    os.path.join(params.output_dir, "record.json"))
+                if dist.is_primary():
+                    saver.save({"params": state.params,
+                                "opt": state.opt_state,
+                                "ema": state.ema}, step, bleu)
+                    recorder.save_to_json(
+                        os.path.join(params.output_dir, "record.json"))
                 adapt_lr.after_eval(float(bleu))
                 if stop_now:
                     log.info("Early stopped at step %d", step)
@@ -376,6 +442,14 @@ def train(params) -> bool:
         recorder.save_to_json(os.path.join(params.output_dir, "record.json"))
     if params.src_dev_file and nproc == 1:
         bleu, _ = _dev_eval(params, decode, _eval_weights(params, state),
+                            dev_dataset,
+                            os.path.join(params.output_dir, "trans.txt"))
+        log.info("Final BLEU %.4f at step %d", bleu, step)
+        saver.save({"params": state.params, "opt": state.opt_state,
+                    "ema": state.ema}, step, bleu)
+    elif params.src_dev_file and eval_on_primary and dist.is_primary():
+        bleu, _ = _dev_eval(params, decode,
+                            _local_weights(_eval_weights(params, state)),
                             dev_dataset,
                             os.path.join(params.output_dir, "trans.txt"))
         log.info("Final BLEU %.4f at step %d", bleu, step)
@@ -523,8 +597,22 @@ def make_ensemble_inference(inferences):
         probs = probs / len(inferences)
         return jnp.log(probs + 1e-20)
 
+    def reorder_cache(caches, beam_indices, batch, beam_size, time, span=1):
+        from zero_tpu.ops.common import gather_beams
+        out = []
+        for inf, c in zip(inferences, caches):
+            if inf.reorder_cache is not None:
+                out.append(inf.reorder_cache(c, beam_indices, batch,
+                                             beam_size, time, span=span))
+            else:
+                out.append(jax.tree.map(
+                    lambda x: gather_beams(x, beam_indices, batch,
+                                           beam_size), c))
+        return out
+
     return Inference(encode=encode, init_cache=init_cache,
-                     decode_step=decode_step, decode_prefix=decode_prefix)
+                     decode_step=decode_step, decode_prefix=decode_prefix,
+                     reorder_cache=reorder_cache)
 
 
 def ensemble(all_params) -> float:
