@@ -330,3 +330,41 @@ def test_decode_cross_supported_bounds():
     assert da_mod.cross_supported(1, 2048, 512, 8)
     assert not da_mod.cross_supported(65, 64, 512, 8)    # beam fold cap
     assert not da_mod.cross_supported(4, 4096, 512, 8)   # VMEM residency
+
+
+def test_decode_pool_attention_matches_gathered_reference():
+    """Ancestry-pool kernel == attention over the per-beam GATHERED cache
+    (every (beam, pos) selects one pool row; masked accumulation over the
+    K rows is exact)."""
+    B, K, H, T, D = 2, 4, 4, 24, 16
+    hidden = H * D
+    rs = np.random.RandomState(7)
+    q = _rand(11, B, K, hidden)
+    k = _rand(12, B, K, T, hidden)
+    v = _rand(13, B, K, T, hidden)
+    anc = jnp.asarray(rs.randint(0, K, (B, K, T)).astype(np.int32))
+    for time in (0, 7, T - 1):
+        # identity at the in-flight column, as self_attn_step sets it
+        ident = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :, None],
+                                 (B, K, 1))
+        anc_eff = jax.lax.dynamic_update_slice(anc, ident, (0, 0, time))
+        o = da_mod.decode_pool_attention(q, k, v, anc_eff, time, H,
+                                         interpret=True)
+        # reference: gather each beam's cache by ancestry, run plain masked
+        # attention per (b, i)
+        kg = jnp.take_along_axis(k, anc_eff[:, :, :, None], axis=1)
+        vg = jnp.take_along_axis(v, anc_eff[:, :, :, None], axis=1)
+        qh = q.reshape(B * K, 1, H, D).transpose(0, 2, 1, 3)
+        kh = kg.reshape(B * K, T, H, D).transpose(0, 2, 1, 3)
+        vh = vg.reshape(B * K, T, H, D).transpose(0, 2, 1, 3)
+        mask = (jnp.arange(T) <= time).astype(jnp.float32)
+        r = _ref(qh, kh, vh, jnp.broadcast_to(mask, (B * K, T)), causal=False)
+        r = r.transpose(0, 2, 1, 3).reshape(B, K, hidden)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_decode_pool_supported_bounds():
+    assert da_mod.pool_supported(4, 82, 512, 8)
+    assert not da_mod.pool_supported(1, 82, 512, 8)    # no beams: plain kernel
+    assert not da_mod.pool_supported(4, 1024, 512, 8)  # pool beyond VMEM

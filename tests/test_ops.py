@@ -328,3 +328,114 @@ def test_dropout_edges_and_noop():
     np.testing.assert_array_equal(np.asarray(out), np.ones((8, 8)))
     # dtype preserved
     assert dropout(jax.random.PRNGKey(0), x, 0.3).dtype == jnp.bfloat16
+
+
+def _simulate_pool_decode(p, x_beams, H, beam_perms, rpr=None):
+    """Drive self_attn_step the way beam search does with the ancestry
+    pool: at each step feed a per-beam token, then apply that step's beam
+    survival permutation via models.common-style ancestry bookkeeping."""
+    B, K, L, D = x_beams.shape
+    cache = attention.init_self_cache(B * K, L, D, jnp.float32)
+    anc = jnp.zeros((B, K, L), jnp.int32)
+    outs = []
+    kwargs = {}
+    if rpr is not None:
+        kwargs = {"rpr_tables": rpr[0], "max_relative_position": rpr[1]}
+    for t in range(L):
+        c = dict(cache, ancestry=anc)
+        o, cache = attention.self_attn_step(
+            p, x_beams[:, :, t].reshape(B * K, 1, D), c,
+            jnp.asarray(t), H, **kwargs)
+        outs.append(o.reshape(B, K, D))
+        # beam reorder: identity at column t, then permute by survivors
+        ident = jnp.broadcast_to(
+            jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, K, 1))
+        anc = jax.lax.dynamic_update_slice(anc, ident, (0, 0, t))
+        perm = beam_perms[:, :, t]
+        anc = jnp.take_along_axis(anc, perm[:, :, None], axis=1)
+    return outs
+
+
+def test_ancestry_pool_decode_matches_gathered_cache():
+    """The ancestry-indexed unpermuted KV pool must reproduce the classic
+    permuted-cache decode exactly, under an adversarial random beam
+    permutation at every step (including beam duplication)."""
+    B, K, L, D, H = 2, 3, 6, 8, 2
+    key = jax.random.PRNGKey(11)
+    p = attention.init_attention(key, D, D, self_attention=True)
+    rs = np.random.RandomState(3)
+    x = rand(21, B, K, L, D)
+    # random survivor indices: values in [0, K), repeats allowed
+    perms = jnp.asarray(rs.randint(0, K, (B, K, L)).astype(np.int32))
+
+    pool_outs = _simulate_pool_decode(p, x, H, perms)
+
+    # reference: classic gathered cache (strip ancestry -> plain path)
+    cache = attention.init_self_cache(B * K, L, D, jnp.float32)
+    from zero_tpu.ops.common import gather_beams
+    ref_outs = []
+    x_cur = x
+    for t in range(L):
+        o, cache = attention.self_attn_step(
+            p, x_cur[:, :, t].reshape(B * K, 1, D), cache, jnp.asarray(t), H)
+        ref_outs.append(o.reshape(B, K, D))
+        perm = perms[:, :, t]
+        cache = {kk: gather_beams(v, perm, B, K) for kk, v in cache.items()}
+        # the *inputs* of later steps must follow the same permutation
+        # history in both drivers: permute the remaining input slices
+        x_cur = x_cur.at[:, :, t + 1:].set(
+            jnp.take_along_axis(x_cur[:, :, t + 1:],
+                                perm[:, :, None, None], axis=1))
+
+    # outputs at each step are pre-permutation in both drivers, but later
+    # steps see permuted histories; compare step outputs after aligning:
+    # pool driver consumed the ORIGINAL x slices, so replay it with the
+    # same permuted inputs for a strict comparison
+    pool_outs2 = _simulate_pool_decode(
+        p, _permute_inputs_like_ref(x, perms), H, perms)
+    for t in range(L):
+        np.testing.assert_allclose(np.asarray(pool_outs2[t]),
+                                   np.asarray(ref_outs[t]),
+                                   rtol=2e-4, atol=2e-4)
+    del pool_outs
+
+
+def _permute_inputs_like_ref(x, perms):
+    B, K, L, D = x.shape
+    x_cur = x
+    for t in range(L):
+        perm = perms[:, :, t]
+        x_cur = x_cur.at[:, :, t + 1:].set(
+            jnp.take_along_axis(x_cur[:, :, t + 1:],
+                                perm[:, :, None, None], axis=1))
+    return x_cur
+
+
+def test_ancestry_pool_decode_rpr_matches_gathered_cache():
+    B, K, L, D, H, MAXREL = 1, 2, 5, 8, 2, 3
+    key = jax.random.PRNGKey(13)
+    p = attention.init_attention(key, D, D, self_attention=True)
+    tables = attention.init_rpr_tables(jax.random.PRNGKey(14), D, H, MAXREL)
+    rs = np.random.RandomState(5)
+    x = rand(22, B, K, L, D)
+    perms = jnp.asarray(rs.randint(0, K, (B, K, L)).astype(np.int32))
+    x_ref = _permute_inputs_like_ref(x, perms)
+
+    pool_outs = _simulate_pool_decode(p, x_ref, H, perms,
+                                      rpr=(tables, MAXREL))
+
+    from zero_tpu.ops.common import gather_beams
+    cache = attention.init_self_cache(B * K, L, D, jnp.float32)
+    x_cur = x
+    for t in range(L):
+        o, cache = attention.self_attn_step(
+            p, x_cur[:, :, t].reshape(B * K, 1, D), cache, jnp.asarray(t),
+            H, rpr_tables=tables, max_relative_position=MAXREL)
+        np.testing.assert_allclose(np.asarray(pool_outs[t]),
+                                   np.asarray(o.reshape(B, K, D)),
+                                   rtol=2e-4, atol=2e-4)
+        perm = perms[:, :, t]
+        cache = {kk: gather_beams(v, perm, B, K) for kk, v in cache.items()}
+        x_cur = x_cur.at[:, :, t + 1:].set(
+            jnp.take_along_axis(x_cur[:, :, t + 1:],
+                                perm[:, :, None, None], axis=1))

@@ -401,6 +401,13 @@ def default_config() -> Config:
         # byte-identical to the XLA path; auto-falls-back off-TPU and for
         # unsupported paths (RPR/ReLA/multi-position/oversized caches)
         use_flash_decode=True,
+        # ancestry-indexed beam KV pools (models/common.py reorder_cache +
+        # kernels/decode_attention.py pool kernel): replaces the per-step
+        # full-cache beam permutation (41-46% of the v5e decode step at
+        # beam 4) with a [B, K, T] int index update. "auto" enables it
+        # where the pool kernel runs (and always on CPU); "on"/"off" force
+        # it for A/B measurement
+        decode_ancestry="auto",
     )
 
 

@@ -54,6 +54,11 @@ class LayerHooks(NamedTuple):
     dec_layer_step: Callable  # (p, x_t, layer_state, state, cache, time, cfg) -> (x_t, cache)
     # optional encoder-output postprocessor (e.g. L0Drop): (params, state, cfg, rngs, training) -> state
     post_encode: Optional[Callable] = None
+    # False for variants whose decode self-attention the fused pool kernel
+    # cannot serve (RPR tables, ReLA): on TPU they keep the classic
+    # gathered cache; the XLA ancestry path would be slower than the
+    # gather it avoids (r3 A/B: 104 vs 235 sent/s at B=32)
+    pool_kernel: bool = True
     # optional post-stack transforms (fixup's trailing shift/scale):
     init_enc_post: Optional[Callable] = None  # (key, cfg) -> params
     enc_post: Optional[Callable] = None       # (p, x) -> x
@@ -406,13 +411,42 @@ def make_transformer(hooks: LayerHooks, zero_softmax: bool = False,
                                        cfg.num_decoder_layer)]
             return state
 
+        def _use_ancestry(beams, max_len):
+            """Ancestry-indexed pools pay off only where the fused pool
+            kernel runs (on TPU); the pure-XLA selection path is slower
+            than the gather it avoids, so elsewhere (and for kernel-
+            ineligible variants) decode keeps the classic permuted cache.
+            CPU always takes the ancestry path so tests exercise it;
+            cfg.decode_ancestry on/off overrides for A/B measurement."""
+            if beams <= 1:
+                return False
+            mode = str(getattr(cfg, "decode_ancestry", "auto"))
+            if mode in ("on", "off"):
+                return mode == "on"
+            if jax.default_backend() != "tpu":
+                return True
+            if not (hooks.pool_kernel and bool(cfg.use_flash_decode)):
+                return False
+            import zero_tpu.ops.kernels.decode_attention as da_mod
+            return da_mod.pool_supported(beams, max_len, cfg.hidden_size,
+                                         cfg.num_heads)
+
         def init_cache(params, state, batch, max_len):
-            return {
+            # ancestry[b, i, t] = pool row whose position-t KV belongs to
+            # live beam i; beam count inferred from the beam-invariant
+            # encoder state (batch = B * K). All-zeros start: every beam
+            # descends from slot 0, matching the init_log_probs tie-break.
+            beams = max(batch // state["mask"].shape[0], 1)
+            cache = {
                 "layers": [hooks.init_dec_layer_cache(p, batch, max_len, cfg,
                                                       dtype)
                            for p in _layer_slices(params["decoder"],
                                                   cfg.num_decoder_layer)],
             }
+            if _use_ancestry(beams, max_len):
+                cache["ancestry"] = jnp.zeros(
+                    (batch // beams, beams, max_len), jnp.int32)
+            return cache
 
         def _embed_step(params, prev_tok, time):
             _, tgt_table, _ = emb_tables(params, cfg, zero_softmax)
@@ -428,17 +462,57 @@ def make_transformer(hooks: LayerHooks, zero_softmax: bool = False,
             cparams = dtypes.cast_to_compute(params, cfg)
             _, _, soft_table = emb_tables(cparams, cfg, zero_softmax)
             x = _embed_step(cparams, prev_tok, time)
+            anc = cache.get("ancestry")
             new_layer_caches = []
             for p, lstate, lcache in zip(
                     _layer_slices(cparams["decoder"], cfg.num_decoder_layer),
                     state["layers"], cache["layers"]):
+                if anc is not None:
+                    lcache = dict(lcache, ancestry=anc)
                 x, new_c = hooks.dec_layer_step(p, x, lstate, state, lcache,
                                                 time, cfg)
+                new_c.pop("ancestry", None)
                 new_layer_caches.append(new_c)
             if hooks.dec_post is not None:
                 x = hooks.dec_post(cparams["dec_post"], x)
             logits = output_logits(x[:, 0], soft_table)
-            return logits, {"layers": new_layer_caches}
+            out_cache = {"layers": new_layer_caches}
+            if anc is not None:
+                out_cache["ancestry"] = anc
+            return logits, out_cache
+
+        def reorder_cache(cache, beam_indices, batch, beam_size, time,
+                          span=1):
+            """Beam-reorder the cache WITHOUT copying the KV pools.
+
+            The just-written positions [time, time+span) sit in each
+            beam's own row: record that as identity ancestry, then permute
+            the [B, K, T] index (a few KB) by the surviving-beam indices.
+            Every other leaf (AAN sums, gate states, ...) gets the plain
+            beam gather. Replaces two full cache copies per decode step
+            (41-46% of the v5e step at beam 4, r3 ablation)."""
+            if "ancestry" not in cache:
+                # classic mode (kernel-ineligible variant/shape): permute
+                # every leaf, pools included
+                return jax.tree.map(
+                    lambda x: ops_common.gather_beams(x, beam_indices,
+                                                      batch, beam_size),
+                    cache)
+            anc = cache["ancestry"]
+            ident = jnp.broadcast_to(
+                jnp.arange(beam_size, dtype=anc.dtype)[None, :, None],
+                (batch, beam_size, span))
+            anc = jax.lax.dynamic_update_slice(anc, ident, (0, 0, time))
+            anc = jnp.take_along_axis(
+                anc, beam_indices[:, :, None].astype(jnp.int32), axis=1)
+            new_layers = []
+            for lc in cache["layers"]:
+                new_layers.append({
+                    k: (v if k.startswith("pool_")
+                        else ops_common.gather_beams(v, beam_indices, batch,
+                                                     beam_size))
+                    for k, v in lc.items()})
+            return {"layers": new_layers, "ancestry": anc}
 
         def decode_prefix(params, tgt_buffer, state, time):
             """Dev-mode oracle: full causal recompute over the [B, T_max]
@@ -465,6 +539,7 @@ def make_transformer(hooks: LayerHooks, zero_softmax: bool = False,
             return output_logits(feature, soft_table)
 
         return Inference(encode=encode, init_cache=init_cache,
-                         decode_step=decode_step, decode_prefix=decode_prefix)
+                         decode_step=decode_step, decode_prefix=decode_prefix,
+                         reorder_cache=reorder_cache)
 
     return init_fn, train_fn, score_fn, infer_fn

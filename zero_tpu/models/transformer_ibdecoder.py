@@ -197,6 +197,8 @@ class IBInference(NamedTuple):
     init_cache: object
     decode_pair: object   # (params, prev_pair [B,2], state, cache, pair_i)
     decode_prefix: object  # (params, z_buffer, state, pair_i) -> [B, 2, V]
+    # no ancestry-indexed pools yet: pair search uses the default gather
+    reorder_cache: object = None
 
 
 def infer_fn(cfg):

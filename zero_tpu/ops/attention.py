@@ -255,11 +255,86 @@ def attn_train(params, query, memory, keep_mask, num_heads, *,
 # ---------------------------------------------------------------------------
 
 def init_self_cache(batch: int, max_len: int, hidden: int, dtype):
-    """Preallocated self-attention KV cache."""
+    """Preallocated self-attention KV pool.
+
+    The ``pool_`` prefix marks leaves that beam search must NOT permute
+    when the owning model provides a ``reorder_cache`` (ancestry-indexed
+    decoding, models/common.py): each row's K/V stay where they were
+    written and ``self_attn_step`` resolves beam ancestry at read time.
+    Models without reorder_cache still get these leaves permuted by the
+    search's default gather, which keeps the plain semantics."""
     return {
-        "k": jnp.zeros((batch, max_len, hidden), dtype),
-        "v": jnp.zeros((batch, max_len, hidden), dtype),
+        "pool_k": jnp.zeros((batch, max_len, hidden), dtype),
+        "pool_v": jnp.zeros((batch, max_len, hidden), dtype),
     }
+
+
+def _ancestry_attn(q, k, v, ancestry, time, num_heads, *, span=1,
+                   rpr_tables=None, max_relative_position=None, relu=False):
+    """Self-attention over an UNPERMUTED beam KV pool via ancestry indices.
+
+    The classic beam decode permutes every layer's [B*K, T, h] KV cache
+    after each top-k (2 full cache copies per step -- measured 41-46% of
+    the decode step on v5e at beam 4). Here the pool rows stay where each
+    beam wrote them; ``ancestry[b, i, t]`` names the pool row j whose
+    position-t entry belongs to live beam i. Attention flattens the pool
+    to a [K*T] key axis and masks (j, t) pairs where ancestry selects a
+    different row -- softmax over the selection equals softmax over the
+    per-beam gathered cache, so results are identical while the per-step
+    cost drops to one streaming read of the pool (the read attention needs
+    anyway) plus a [B, K, T] int gather in the search.
+
+    q: [B*K, s, hidden] (s = freshly-written span, positions
+    time..time+s-1, which always live in the beam's OWN row -- identity
+    selection); k, v: [B*K, T, hidden] pools; ancestry: [B, K, T] int32.
+    """
+    batch, beams, t_max = ancestry.shape
+    s = q.shape[1]
+    qh = split_heads(q, num_heads)                       # [B*K, H, s, dh]
+    dh = qh.shape[-1]
+    qh = (qh * (dh ** -0.5)).reshape(batch, beams, num_heads, s, dh)
+    kh = split_heads(k.reshape(batch, beams * t_max, -1), num_heads)
+    vh = split_heads(v.reshape(batch, beams * t_max, -1), num_heads)
+
+    logits = jnp.einsum("bihsd,bhjd->bhisj", qh, kh)     # j = flat (K, T)
+    logits = logits.astype(jnp.float32)
+
+    # selection mask over (source row j, position t): ancestry for written
+    # history, identity for the in-flight span [time, time+s)
+    pos = jnp.arange(t_max)
+    sel = ancestry[:, :, None, :] == jnp.arange(beams)[None, None, :, None]
+    ident = (jnp.arange(beams)[:, None] == jnp.arange(beams)[None, :])
+    in_span = (pos >= time) & (pos <= time + (s - 1))
+    sel = jnp.where(in_span[None, None, None, :],
+                    ident[None, :, :, None], sel)        # [B, i, j, t]
+    keep = (sel & (pos <= time + (s - 1))[None, None, None, :]) \
+        .reshape(batch, beams, beams * t_max)            # [B, i, (j t)]
+    keep = keep[:, None, :, None, :]                     # [B, 1, i, 1, jt]
+
+    rpr_ids = None
+    if rpr_tables is not None:
+        # same distance row for every pool row j of a position t
+        rpr_ids = rpr_mod.relative_positions_row(time, t_max,
+                                                 max_relative_position)
+        r_k = rpr_mod.gather_embeddings(rpr_tables["keys"], rpr_ids)
+        r_k = jnp.tile(r_k, (1, beams, 1))               # [1, K*T, dh]
+        logits += jnp.einsum("bihsd,sjd->bhisj", qh,
+                             r_k.astype(qh.dtype)).astype(jnp.float32)
+
+    if relu:
+        weights = jax.nn.relu(logits * keep.astype(jnp.float32))
+    else:
+        logits = jnp.where(keep, logits, jnp.float32(-1e9))
+        weights = jax.nn.softmax(logits, axis=-1)
+    weights = weights.astype(q.dtype)
+
+    o = jnp.einsum("bhisj,bhjd->bihsd", weights, vh)
+    if rpr_tables is not None:
+        r_v = rpr_mod.gather_embeddings(rpr_tables["values"], rpr_ids)
+        r_v = jnp.tile(r_v, (1, beams, 1))
+        o += jnp.einsum("bhisj,sjd->bihsd", weights, r_v.astype(q.dtype))
+    o = o.reshape(batch * beams, num_heads, s, dh)
+    return combine_heads(o)
 
 
 def self_attn_step(params, x_t, cache, time, num_heads, *,
@@ -267,22 +342,64 @@ def self_attn_step(params, x_t, cache, time, num_heads, *,
                    use_flash=False):
     """One-step self-attention with a static cache.
 
-    x_t: [B, 1, d]; cache: {'k','v': [B, T_max, hidden]}; time: scalar int.
-    Writes this step's k/v at position ``time`` and attends over positions
-    <= time. Returns (output [B, 1, hidden], new_cache).
+    x_t: [B, 1, d]; cache: {'pool_k','pool_v': [B, T_max, hidden]}; time:
+    scalar int. Writes this step's k/v at position ``time`` and attends
+    over positions <= time. Returns (output [B, 1, hidden], new_cache).
 
-    use_flash routes the plain-softmax single-position path through the
-    fused decode kernel (ops/kernels/decode_attention.py); exotic paths
-    (RPR, ReLA, multi-position steps) stay on XLA.
+    cache['ancestry'] ([B, K, T] int32, injected by the skeleton's
+    decode_step) switches beam decode to the ancestry-indexed pool path
+    (_ancestry_attn): the pools are never beam-permuted. With one beam the
+    plain path runs (ancestry is all zeros by construction).
+
+    use_flash routes the plain-softmax single-position single-beam path
+    through the fused decode kernel (ops/kernels/decode_attention.py);
+    exotic paths (RPR, ReLA, multi-position steps) stay on XLA.
     """
     h = nn.linear(params["qkv"], x_t)
     q, k_t, v_t = jnp.split(h, 3, axis=-1)
 
-    k = jax.lax.dynamic_update_slice(cache["k"], k_t.astype(cache["k"].dtype),
-                                     (0, time, 0))
-    v = jax.lax.dynamic_update_slice(cache["v"], v_t.astype(cache["v"].dtype),
-                                     (0, time, 0))
+    k = jax.lax.dynamic_update_slice(
+        cache["pool_k"], k_t.astype(cache["pool_k"].dtype), (0, time, 0))
+    v = jax.lax.dynamic_update_slice(
+        cache["pool_v"], v_t.astype(cache["pool_v"].dtype), (0, time, 0))
     t_max = k.shape[1]
+    new_cache = {"pool_k": k, "pool_v": v}
+
+    ancestry = cache.get("ancestry")
+    if ancestry is not None and ancestry.shape[1] > 1:
+        batch, beams = ancestry.shape[:2]
+        hidden = k.shape[2]
+        use_pool_kernel = False
+        if use_flash and not relu and rpr_tables is None \
+                and x_t.shape[1] == 1:
+            import zero_tpu.ops.kernels.decode_attention as da_mod
+            use_pool_kernel = (jax.default_backend() == "tpu"
+                               and da_mod.pool_supported(beams, t_max,
+                                                         hidden, num_heads))
+        if use_pool_kernel:
+            # the in-flight position lives in each beam's own row: set the
+            # ancestry column at ``time`` to identity for the kernel
+            ident = jnp.broadcast_to(
+                jnp.arange(beams, dtype=ancestry.dtype)[None, :, None],
+                (batch, beams, 1))
+            anc_eff = jax.lax.dynamic_update_slice(ancestry, ident,
+                                                   (0, 0, time))
+            o = da_mod.decode_pool_attention(
+                q.reshape(batch, beams, hidden),
+                k.reshape(batch, beams, t_max, hidden),
+                v.reshape(batch, beams, t_max, hidden),
+                anc_eff, time, num_heads)
+            o = o.reshape(batch * beams, 1, hidden)
+        else:
+            o = _ancestry_attn(q, k, v, ancestry, time, num_heads,
+                               span=x_t.shape[1], rpr_tables=rpr_tables,
+                               max_relative_position=max_relative_position,
+                               relu=relu)
+        if relu and "post" in params:
+            o = gated_rms_norm(params["post"], o)
+        if "o" in params:
+            o = nn.linear(params["o"], o)
+        return o, new_cache
 
     if use_flash and not relu and rpr_tables is None:
         import zero_tpu.ops.kernels.decode_attention as da_mod
@@ -292,7 +409,7 @@ def self_attn_step(params, x_t, cache, time, num_heads, *,
             o = da_mod.decode_attention(q, k, v, time, num_heads)
             if "o" in params:
                 o = nn.linear(params["o"], o)
-            return o, {"k": k, "v": v}
+            return o, new_cache
     pos = jnp.arange(t_max)
     # multi-position steps (x_t length > 1, e.g. IBDecoder pairs) may
     # attend across all freshly-written slots
@@ -310,7 +427,7 @@ def self_attn_step(params, x_t, cache, time, num_heads, *,
         o = gated_rms_norm(params["post"], o)
     if "o" in params:
         o = nn.linear(params["o"], o)
-    return o, {"k": k, "v": v}
+    return o, new_cache
 
 
 def cross_attn_precompute(params, memory):

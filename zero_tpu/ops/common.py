@@ -137,3 +137,18 @@ def label_smooth_loss(logits: jax.Array, labels: jax.Array, mask: jax.Array,
 def gumbel_noise(rng: jax.Array, shape, eps: float = 1e-8) -> jax.Array:
     u = jax.random.uniform(rng, shape, minval=0.0, maxval=1.0)
     return -jnp.log(-jnp.log(u + eps) + eps)
+
+
+def gather_beams(x: jax.Array, beam_indices: jax.Array, batch: int,
+                 beam_size: int) -> jax.Array:
+    """Reorder the beam axis of a [B*K, ...] leaf by [B, K] indices.
+
+    take_along_axis is the fastest full-leaf permutation on TPU (r3
+    same-session A/B vs one-hot einsum / permutation matmul). The big
+    self-attention KV pools skip this entirely via the ancestry index
+    (models/common.py reorder_cache)."""
+    y = x.reshape((batch, beam_size) + x.shape[1:])
+    idx = beam_indices.reshape(
+        (batch, beam_size) + (1,) * (y.ndim - 2)).astype(jnp.int32)
+    y = jnp.take_along_axis(y, idx, axis=1)
+    return y.reshape((batch * beam_size,) + x.shape[1:])

@@ -55,6 +55,17 @@ def supported(lq: int, t_max: int, hidden: int, num_heads: int) -> bool:
             and t_max * hidden <= MAX_CACHE_ELEMS)
 
 
+def pool_supported(beams: int, t_max: int, hidden: int,
+                   num_heads: int) -> bool:
+    """Ancestry-pool kernel eligibility: the whole batch row's beam pool
+    ([beams, T, hidden] K and V) must be VMEM-resident, and the
+    (head, beam)-major logits tile needs a bounded row count."""
+    return (2 <= beams <= 16
+            and hidden % num_heads == 0
+            and beams * num_heads <= 512
+            and beams * t_max * hidden <= MAX_CACHE_ELEMS)
+
+
 def cross_supported(beams: int, s_len: int, hidden: int,
                     num_heads: int) -> bool:
     """Cross-kernel eligibility: beam-folded queries against one memory
@@ -141,6 +152,112 @@ def _cross_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, num_heads: int):
     mixed = mixed.reshape(beams, num_heads, hidden)
     o = jnp.sum(mixed * sel[None].astype(jnp.float32), axis=1)
     o_ref[0] = o.astype(o_ref.dtype)             # [beams, hidden]
+
+
+def _pool_kernel(time_ref, q_ref, k_ref, v_ref, anc_ref, o_ref, *,
+                 num_heads: int):
+    """Ancestry-selected beam attention over one batch row's UNPERMUTED
+    KV pool (see ops/attention.py:_ancestry_attn for the math).
+
+    q: [K, hidden] (all beams); k, v: [K, T, hidden] pool rows; anc:
+    [K, T] int32 with the CURRENT position already set to identity
+    (self_attn_step writes it before the call). Every (beam, position)
+    pair selects exactly one pool row, so masked accumulation over the K
+    static rows reproduces the gathered-cache attention exactly: wrong-j
+    terms contribute literal 0.0 to both the logits and the value mix.
+
+    Layout: the lane-preserving head trick of ``_kernel`` with
+    (head, beam)-major rows -- q_heads[h*K + i] = q[i] masked to head
+    h's lanes -- so per-j selection masks tile as whole [K, T] blocks.
+    """
+    t = time_ref[0]
+    q = q_ref[0]                                  # [K, hidden]
+    anc = anc_ref[0]                              # [K, T] int32
+    beams, hidden = q.shape
+    t_max = anc.shape[1]
+    dh = hidden // num_heads
+    scale = dh ** -0.5
+
+    head_of_lane = jax.lax.broadcasted_iota(
+        jnp.int32, (num_heads, hidden), 1) // dh
+    head_row = jax.lax.broadcasted_iota(
+        jnp.int32, (num_heads, hidden), 0)
+    sel = (head_of_lane == head_row).astype(q.dtype)      # [H, hidden]
+
+    q_heads = (sel[:, None, :] * q[None, :, :]).reshape(
+        num_heads * beams, hidden)                        # [H*K, hidden]
+
+    rows = num_heads * beams
+    s_acc = jnp.zeros((rows, t_max), jnp.float32)
+    for j in range(beams):
+        mask_j = jnp.broadcast_to((anc == j)[None], (num_heads,) + anc.shape)
+        mask_j = mask_j.reshape(rows, t_max)
+        dots = jax.lax.dot_general(q_heads, k_ref[0, j],
+                                   (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        s_acc += dots * mask_j.astype(jnp.float32)
+
+    s_acc = s_acc * scale
+    pos = jax.lax.broadcasted_iota(jnp.int32, (rows, t_max), 1)
+    s_acc = jnp.where(pos <= t, s_acc, NEG_INF)
+    m = jnp.max(s_acc, axis=1, keepdims=True)
+    p = jnp.exp(s_acc - m)
+    w = p / jnp.sum(p, axis=1, keepdims=True)             # [H*K, T] f32
+
+    mixed = jnp.zeros((rows, hidden), jnp.float32)
+    for j in range(beams):
+        mask_j = jnp.broadcast_to((anc == j)[None], (num_heads,) + anc.shape)
+        mask_j = mask_j.reshape(rows, t_max)
+        wj = (w * mask_j.astype(jnp.float32)).astype(v_ref.dtype)
+        mixed += jax.lax.dot_general(wj, v_ref[0, j],
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+    mixed = mixed.reshape(num_heads, beams, hidden)
+    o = jnp.sum(mixed * sel[:, None, :].astype(jnp.float32), axis=0)
+    o_ref[0] = o.astype(o_ref.dtype)                      # [K, hidden]
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def decode_pool_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                          ancestry: jax.Array, time: jax.Array,
+                          num_heads: int,
+                          interpret: bool = False) -> jax.Array:
+    """Ancestry-selected single-step attention over unpermuted beam pools.
+
+    q: [B, K, hidden] beam queries; k, v: [B, K, T_max, hidden] pools
+    already holding this step's entries at ``time``; ancestry:
+    [B, K, T_max] int32 pool-row indices with column ``time`` set to
+    identity. Attends over positions <= time. Returns [B, K, hidden].
+    """
+    b, beams, hidden = q.shape
+    t_max = k.shape[2]
+    time_arr = jnp.asarray(time, jnp.int32).reshape((1,))
+
+    def row_map(i, *_):
+        return (i, 0, 0)
+
+    def row_map4(i, *_):
+        return (i, 0, 0, 0)
+
+    q_spec = pl.BlockSpec((1, beams, hidden), row_map,
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, beams, t_max, hidden), row_map4,
+                           memory_space=pltpu.VMEM)
+    anc_spec = pl.BlockSpec((1, beams, t_max), row_map,
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[q_spec, kv_spec, kv_spec, anc_spec],
+        out_specs=q_spec,
+    )
+    return pl.pallas_call(
+        functools.partial(_pool_kernel, num_heads=num_heads),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, beams, hidden), q.dtype),
+        interpret=interpret,
+    )(time_arr, q, k, v, ancestry)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))

@@ -24,7 +24,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from zero_tpu.ops.common import gumbel_noise, log_prob_from_logits
+from zero_tpu.ops.common import (gather_beams, gumbel_noise,
+                                 log_prob_from_logits)
 
 F32_MIN = jnp.finfo(jnp.float32).min
 
@@ -50,13 +51,8 @@ def _tile_beam(x, beam_size):
     return x.reshape((-1,) + x.shape[2:])
 
 
-def _gather_beams(x, beam_indices, batch, beam_size):
-    """Reorder the beam axis of [B*K, ...] leaves by [B, K] indices."""
-    y = x.reshape((batch, beam_size) + x.shape[1:])
-    idx = beam_indices.reshape(
-        (batch, beam_size) + (1,) * (y.ndim - 2)).astype(jnp.int32)
-    y = jnp.take_along_axis(y, idx, axis=1)
-    return y.reshape((batch * beam_size,) + x.shape[1:])
+# default whole-leaf beam permutation (models without reorder_cache)
+_gather_beams = gather_beams
 
 
 def beam_search(params, source, inference, cfg, rng: Optional[jax.Array] = None):
@@ -174,9 +170,17 @@ def beam_search(params, source, inference, cfg, rng: Optional[jax.Array] = None)
                                         axis=1)
         alive_beam = jnp.take_along_axis(curr_beam, alive_idx, axis=1)
         alive_log_probs = alive_scores * penalty
-        alive_cache = jax.tree.map(
-            lambda x: _gather_beams(x, alive_beam, batch, beam_size),
-            new_cache)
+        if dev_mode:
+            # the cache is an unused dummy (decode_prefix recomputes from
+            # the token buffer): skip the reorder entirely
+            alive_cache = new_cache
+        elif inference.reorder_cache is not None:
+            alive_cache = inference.reorder_cache(new_cache, alive_beam,
+                                                  batch, beam_size, time)
+        else:
+            alive_cache = jax.tree.map(
+                lambda x: _gather_beams(x, alive_beam, batch, beam_size),
+                new_cache)
 
         # 4. finished: top-k of previous k + current 2k
         curr_fin_scores = topk_scores + \
@@ -346,9 +350,14 @@ def ib_beam_search(params, source, inference, cfg,
                                         axis=1)
         alive_beam = jnp.take_along_axis(beam_idx, alive_idx, axis=1)
         alive_log_probs = alive_scores * penalty
-        alive_cache = jax.tree.map(
-            lambda x: _gather_beams(x, alive_beam, batch, beam_size),
-            new_cache)
+        if inference.reorder_cache is not None:
+            alive_cache = inference.reorder_cache(new_cache, alive_beam,
+                                                  batch, beam_size, 2 * i,
+                                                  span=2)
+        else:
+            alive_cache = jax.tree.map(
+                lambda x: _gather_beams(x, alive_beam, batch, beam_size),
+                new_cache)
         alive_done_l = jnp.take_along_axis(new_done_l, alive_idx, axis=1)
         alive_done_r = jnp.take_along_axis(new_done_r, alive_idx, axis=1)
 
