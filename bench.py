@@ -35,7 +35,7 @@ SMOKE = bool(int(os.environ.get("BENCH_SMOKE", "0")))
 WARMUP_STEPS = 2
 STEPS_PER_WINDOW = 2 if SMOKE else 12
 N_WINDOWS = 1 if SMOKE else 3
-TIME_BUDGET_S = 1800.0  # skip remaining configs past this
+TIME_BUDGET_S = 2700.0  # skip remaining configs past this
 
 # bf16 peak FLOP/s by TPU generation (public spec sheets)
 _PEAKS = (("v6", 918e12), ("v5p", 459e12), ("v5", 197e12), ("v4", 275e12))
@@ -228,7 +228,55 @@ def bench_decode(model_name, batch_rows=32, src_len=32):
     return out
 
 
-def bench_deep20():
+def bench_big():
+    """transformer-big (d=1024): the reference's headline WMT14 config
+    (docs/depth_scale_init_and_merged_attention/README.md:67-68). Tests
+    the d=512-granularity MFU hypothesis from r2: at d=1024 the matmuls
+    tile the MXU better, so MFU should beat the base config's."""
+    from __graft_entry__ import _base_config
+
+    cfg = _base_config()
+    cfg.hidden_size = 1024
+    cfg.embed_size = 1024
+    cfg.filter_size = 4096
+    cfg.num_heads = 16
+    cfg.residual_dropout = 0.3  # reference big setting (same cost as 0.1)
+    return bench_train(cfg, rows=128, src_len=128, tgt_len=128,
+                       vocab_hi=30000)
+
+
+def rpr_train_flops(cfg, rows, src_len, tgt_len):
+    """Base transformer FLOPs + the RPR extras: relative-key logits and
+    relative-value accumulation add 4*L*d per self-attention token."""
+    base = transformer_train_flops(cfg, rows, src_len, tgt_len)
+    d = cfg.hidden_size
+    Le, Ld = cfg.num_encoder_layer, cfg.num_decoder_layer
+    extra = rows * (src_len * Le * 4 * src_len * d
+                    + tgt_len * Ld * 4 * tgt_len * d)
+    return base + 3.0 * extra
+
+
+def bench_rpr():
+    """BASELINE config 3: Transformer + RPR relative positions."""
+    from zero_tpu.config import load_config_file
+    from __graft_entry__ import _base_config
+
+    cfg = _base_config()
+    cfg.override_from_dict({
+        k: v for k, v in load_config_file(
+            "configs/transformer_rpr_rela.json").items()
+        if not k.startswith("_") and not k.endswith("_file")})
+    cfg.update_cycle = 1
+    rows, L = 256, 128
+    return bench_train(cfg, rows, L, L, vocab_hi=30000,
+                       flops_per_step=rpr_train_flops(cfg, rows, L, L))
+
+
+def bench_deep(num_encoder_layer=20, scan_layers=False, rows=128, L=128):
+    """Deep fuse stack (BASELINE config 4). r2 benched 64x64, a shape the
+    r2 ablations showed underutilises the chip; r3 uses a realistic step.
+    30L runs with scan_layers (one compiled layer body; the non-scan 30L
+    compile is unbounded on the tunnel)."""
     from zero_tpu.config import load_config_file
     from __graft_entry__ import _base_config
 
@@ -238,12 +286,13 @@ def bench_deep20():
             "configs/deep_transformer_fuse_l0drop.json").items()
         if not k.startswith("_") and not k.endswith("_file")})
     cfg.update_cycle = 1
+    cfg.num_encoder_layer = num_encoder_layer
+    cfg.scan_layers = scan_layers
     # flops: fuse decoder = 2 sublayers (cross qkvo + aan + ffn); count the
     # dominant matmuls with the same rules as the base formula
     d, f = cfg.hidden_size, cfg.filter_size
     Le, Ld = cfg.num_encoder_layer, cfg.num_decoder_layer
     V = cfg.src_vocab.size()
-    rows, L = 64, 64
     enc_tok = Le * (8 * d * d + 4 * L * d + 4 * d * f)
     dec_tok = Ld * (8 * d * d + 8 * L * d + 4 * d * f)
     fwd = rows * L * (enc_tok + dec_tok + 2 * d * V)
@@ -368,15 +417,45 @@ def main():
                              batch_rows=4 if SMOKE else 32,
                              src_len=8 if SMOKE else 32))
     if not SMOKE:
-        # 3b. serving-batch decode: throughput at B=128 (latency-bound
-        #     small batches underutilise the chip)
+        # 3b. serving-batch decode scaling: sentences/s must be
+        #     monotonically non-decreasing in batch rows (VERDICT r2 #1)
+        run("transformer_base_decode_beam4_b64",
+            lambda: bench_decode("transformer", batch_rows=64, src_len=32))
         run("transformer_base_decode_beam4_b128",
             lambda: bench_decode("transformer", batch_rows=128, src_len=32))
-    if not SMOKE:
-        # 4. deep 20L fuse + depth-scaled init (BASELINE.json config 4)
-        run("deep20_fuse_train", bench_deep20)
+        curve = {}
+        for rows, key in ((32, "transformer_base_decode_beam4"),
+                          (64, "transformer_base_decode_beam4_b64"),
+                          (128, "transformer_base_decode_beam4_b128")):
+            sps = details["configs"].get(key, {}).get("sentences_per_sec")
+            if sps:
+                curve["b%d" % rows] = sps
+        details["configs"]["decode_scaling"] = dict(
+            curve, monotone=(list(curve.values())
+                             == sorted(curve.values())))
+        # 3c. ReLA sparse-attention decode (reference publishes speed
+        #     ratios vs softmax: docs/rela_sparse_attention/README.md)
+        run("transformer_rela_decode_beam4",
+            lambda: bench_decode("transformer_rela",
+                                 batch_rows=32, src_len=32))
+        base_sps = details["configs"].get(
+            "transformer_base_decode_beam4", {}).get("sentences_per_sec")
+        rela_sps = details["configs"].get(
+            "transformer_rela_decode_beam4", {}).get("sentences_per_sec")
+        if base_sps and rela_sps:
+            details["configs"]["transformer_rela_decode_beam4"][
+                "speed_vs_softmax"] = round(rela_sps / base_sps, 3)
+        # 4. deep 20L/30L fuse + depth-scaled init (BASELINE config 4;
+        #    30L = the reference's deepest published stack)
+        run("deep20_fuse_train", bench_deep)
+        run("deep30_fuse_train",
+            lambda: bench_deep(num_encoder_layer=30, scan_layers=True))
         # 5. AFS speech translation preset (BASELINE.json config 5)
         run("afs_speech_train", bench_afs_speech)
+        # 6. BASELINE config 3: RPR train (completes 5/5 configs)
+        run("transformer_rpr_train", bench_rpr)
+        # 7. transformer-big (d=1024): reference headline WMT14 config
+        run("transformer_big_train", bench_big)
 
     details["total_bench_s"] = round(time.perf_counter() - started, 1)
     with open("BENCH_DETAILS.json", "w") as f:

@@ -330,6 +330,59 @@ def test_dropout_edges_and_noop():
     assert dropout(jax.random.PRNGKey(0), x, 0.3).dtype == jnp.bfloat16
 
 
+def test_dropout_hash_bits_quality():
+    """The fused counter-hash mask source (DROPOUT_BITS='fused') must be
+    uniform, decorrelated, deterministic, and key-sensitive. Guards the
+    single-fmix32 generator in ops/common.py:_hash_bits against a future
+    'simplification' that quietly degrades the mask stream."""
+    from zero_tpu.ops import common as C
+
+    k = jax.random.PRNGKey(42)
+    n = 1 << 20
+    a = np.asarray(C._hash_bits(k, (n,)))
+    # deterministic for a fixed key
+    np.testing.assert_array_equal(a, np.asarray(C._hash_bits(k, (n,))))
+    bits = a & 255
+    # uniform low byte: chi-square on 256 bins, df=255 -> mean 255,
+    # std ~22.6; 400 is a >6-sigma bound
+    counts = np.bincount(bits, minlength=256)
+    exp = n / 256
+    chi2 = ((counts - exp) ** 2 / exp).sum()
+    assert chi2 < 400, chi2
+    # keep-mask decorrelation at the strides TPU layout could alias
+    keep = (bits < 230).astype(np.float64)
+    for stride in (1, 2, 64, 128, 2048):
+        c = abs(np.corrcoef(keep[:-stride], keep[stride:])[0, 1])
+        assert c < 0.01, (stride, c)
+    # different keys give near-independent masks: P(agree) = p^2 + q^2
+    b = np.asarray(C._hash_bits(jax.random.fold_in(k, 1), (n,))) & 255
+    agree = ((bits < 230) == (b < 230)).mean()
+    assert abs(agree - 0.8173) < 0.01, agree
+    # raw uint32-array keys (pre-typed-key style) are accepted too
+    raw = np.asarray([7, 9], np.uint32)
+    np.testing.assert_array_equal(np.asarray(C._hash_bits(jnp.asarray(raw), (64,))),
+                                  np.asarray(C._hash_bits(jnp.asarray(raw), (64,))))
+
+
+def test_dropout_bits_modes_same_policy():
+    """Both mask sources implement the identical threshold policy: exact
+    256/t scaling on kept entries, zeros elsewhere, same expected rate."""
+    from zero_tpu.ops import common as C
+
+    x = jnp.ones((512, 512), jnp.float32)
+    t = round((1.0 - 0.1) * 256)
+    old = C.DROPOUT_BITS
+    try:
+        for mode in ("fused", "prng"):
+            C.DROPOUT_BITS = mode
+            out = np.asarray(C.dropout(jax.random.PRNGKey(3), x, 0.1))
+            kept = out[out != 0.0]
+            np.testing.assert_allclose(kept, 256.0 / t, rtol=1e-6)
+            assert abs(kept.size / out.size - t / 256.0) < 0.01
+    finally:
+        C.DROPOUT_BITS = old
+
+
 def _simulate_pool_decode(p, x_beams, H, beam_perms, rpr=None):
     """Drive self_attn_step the way beam search does with the ancestry
     pool: at each step feed a per-beam token, then apply that step's beam
