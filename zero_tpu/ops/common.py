@@ -67,8 +67,8 @@ class RngGen:
 # the r3 answer to the dropout MFU gap: RngBitGenerator is an unfusable
 # HLO, so the u8 masks of a B=256 L=128 transformer-base step (2.0 GB)
 # generate at ~70 GB/s and round-trip HBM -- ~29 ms of a ~158 ms step
-# (microbenched v5e via _mb_dropout.py). The hash path costs ~10 VPU ops
-# per element inside the consumer fusion instead.
+# (microbenched v5e via scripts/ablations/mb_dropout.py). The hash path
+# costs ~10 VPU ops per element inside the consumer fusion instead.
 DROPOUT_BITS = "fused"
 
 
