@@ -4,11 +4,14 @@
 # docs/depth_scale_init_and_merged_attention/README.md:70, WMT14 28.86)
 # on the deterministic hard transduction task (docs/synth_mt.md).
 #
-# Depth recipe (measured on the 20L run, docs/synth_mt.md): the synthetic
-# task converges before the noam ramp peaks, so deep post-LN stacks need a
-# longer warmup than 6L (w=4000 collapsed the 20L run into the unigram
-# attractor; w=8000 trained cleanly). 30L keeps w=8000 and scan_layers
-# (one compiled layer body, stacked [L,...] params) + per-layer remat.
+# Depth recipe (measured, docs/synth_mt.md): the synthetic task converges
+# before the noam ramp peaks, so deep post-LN stacks need a longer warmup
+# than 6L (w=4000 collapsed the 20L run; w=8000 trained 20L cleanly but
+# collapsed THIS 30L stack between steps 5500-5750 at lr~3.4e-4 after it
+# had reached dev BLEU 0.9959 — the stable-LR threshold keeps dropping
+# with depth). w=12000 caps the ramp at 2.0e-4 by step 6000 and trains
+# 30L cleanly. scan_layers (one compiled layer body, stacked [L,...]
+# params) + per-layer remat.
 set -euo pipefail
 WORK=${1:-/tmp/synthmt}
 OUT=${2:-$WORK/out30}
@@ -25,7 +28,7 @@ deep_transformer_init=True,use_remat=True,scan_layers=True,\
 initializer=uniform_unit_scaling,initializer_gain=1.0,\
 dropout=0.1,residual_dropout=0.1,relu_dropout=0.1,attention_dropout=0.1,\
 label_smooth=0.1,default_dtype=bfloat16,\
-lrate_strategy=noam,lrate=1.0,warmup_steps=8000,\
+lrate_strategy=noam,lrate=1.0,warmup_steps=12000,\
 batch_or_token=token,token_size=25000,max_len=48,eval_max_len=64,\
 decode_max_len=64,beam_size=4,eval_batch_size=50,\
 max_training_steps=$STEPS,disp_freq=250,save_freq=1000,eval_freq=1000,\
