@@ -274,6 +274,10 @@ def default_config() -> Config:
         # -1 for data = use all remaining devices
         mesh_data=-1,
         mesh_model=1,
+        # sequence-parallel ways (ring attention over a 'seq' mesh axis);
+        # 1 = off. An extension the reference lacks (SURVEY §5 names SP as
+        # the explicit TPU extension point for speech-length inputs).
+        mesh_seq=1,
         # multi-host training (jax.distributed): coordinator "host:port";
         # empty = single process. The reference has no multi-node support.
         dist_coordinator="",

@@ -208,6 +208,29 @@ def attn_train(params, query, memory, keep_mask, num_heads, *,
         k = nn.linear(params["k"], memory)
         v = nn.linear(params["v"], memory)
 
+    # Sequence parallelism: when the driver published a mesh with a 'seq'
+    # axis (parallel/ring.py), eligible self-attention routes through ring
+    # attention -- blockwise online softmax with K/V blocks ppermuted over
+    # ICI -- instead of any single-device path. Eligibility mirrors the
+    # flash route: the semantic mask must decompose into a causal flag +
+    # key-side pad mask, declared by the caller passing causal/pad_mask.
+    from zero_tpu.parallel import ring as ring_mod
+    ring_ok = (memory is None and not relu and rpr_tables is None
+               and count_weights is None and fuse_weight is None
+               and (causal or pad_mask is not None)
+               and ring_mod.ring_route_ok(q.shape[0], num_heads,
+                                          q.shape[1], k.shape[1]))
+    if ring_ok:
+        qh = split_heads(q, num_heads)
+        kh = split_heads(k, num_heads)
+        vh = split_heads(v, num_heads)
+        o = ring_mod.ring_self_attention(
+            qh, kh, vh, pad_mask, causal=causal, rng=rng, drop=drop)
+        o = combine_heads(o.astype(q.dtype))
+        if "o" in params:
+            o = nn.linear(params["o"], o)
+        return {"output": o, "weights": None}
+
     flash_ok = (use_flash and not relu and rpr_tables is None
                 and count_weights is None
                 and kernels_supported(q.shape[1], k.shape[1]))

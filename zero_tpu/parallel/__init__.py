@@ -8,5 +8,7 @@ accumulation cycle ops (utils/cycle.py): one jitted SPMD step over a
 
 from zero_tpu.parallel.mesh import (  # noqa: F401
     make_mesh, param_sharding, batch_sharding, shard_tree)
+from zero_tpu.parallel.ring import (  # noqa: F401
+    ring_self_attention, set_active_mesh)
 from zero_tpu.parallel.train_step import (  # noqa: F401
     TrainState, init_train_state, make_train_step, stack_microbatches)

@@ -21,25 +21,33 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(cfg=None, data: Optional[int] = None,
-              model: Optional[int] = None, devices=None) -> Mesh:
-    """Build a ('data', 'model') mesh over available devices."""
+              model: Optional[int] = None, seq: Optional[int] = None,
+              devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh — or ('data', 'model', 'seq') when
+    sequence parallelism is requested — over available devices."""
     devices = devices if devices is not None else jax.devices()
     if cfg is not None:
         model = model or int(getattr(cfg, "mesh_model", 1))
         data = data or int(getattr(cfg, "mesh_data", -1))
+        seq = seq or int(getattr(cfg, "mesh_seq", 1))
     model = model or 1
+    seq = seq or 1
     if data is None or data <= 0:
-        data = len(devices) // model
-    if data <= 0 or len(devices) < data * model:
+        data = len(devices) // (model * seq)
+    if data <= 0 or len(devices) < data * model * seq:
         raise ValueError(
-            "make_mesh needs data*model = %s*%s = %s devices but only %d "
-            "are available on platform %r. Set mesh_data/mesh_model to fit "
-            "the hardware, or for a virtual multi-device CPU mesh set "
-            "XLA_FLAGS=--xla_force_host_platform_device_count=N and "
+            "make_mesh needs data*model*seq = %s*%s*%s = %s devices but only "
+            "%d are available on platform %r. Set mesh_data/mesh_model/"
+            "mesh_seq to fit the hardware, or for a virtual multi-device CPU "
+            "mesh set XLA_FLAGS=--xla_force_host_platform_device_count=N and "
             "jax.config.update('jax_platforms', 'cpu') before first device "
-            "use." % (data, model, max(data, 0) * model, len(devices),
+            "use." % (data, model, seq, max(data, 0) * model * seq,
+                      len(devices),
                       devices[0].platform if devices else "?"))
-    used = devices[:data * model]
+    used = devices[:data * model * seq]
+    if seq > 1:
+        arr = np.asarray(used).reshape(data, model, seq)
+        return Mesh(arr, ("data", "model", "seq"))
     arr = np.asarray(used).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 

@@ -1,0 +1,177 @@
+"""Ring attention: sequence-parallel self-attention over a 'seq' mesh axis.
+
+The reference has no sequence parallelism of any kind (SURVEY §5: host-side
+truncation only); this is the TPU-native extension point SURVEY reserves
+for long inputs — speech-translation log-mel streams run to thousands of
+frames before AFS pruning, where a single chip's attention memory and a
+pure-DP batch split both give out.
+
+Design (blockwise/ring, Liu et al. 2023 pattern, built from scratch on
+shard_map + ppermute): activations are sharded [B, S/n, D] over the 'seq'
+axis; every position-wise op (LN, FFN, residual, projections) needs no
+communication under GSPMD. Self-attention runs under shard_map: each
+device holds its query block and one rotating K/V block, accumulates
+online-softmax state (running max m, denominator l, weighted sum acc) in
+fp32, and ppermutes the K/V block around the ring — n steps, each
+overlapping one block matmul with one neighbour transfer over ICI; no
+[S, S] score tensor and no all-gather of K/V ever materialises.
+
+Masking matches the dense path exactly: blocked logits are set to -1e9
+(not -inf), so an all-pad row degrades to uniform attention over the pad
+positions — the same "legal all-pad batch rows" invariant the rest of the
+framework keeps (no NaNs). Causal blocks compare global positions
+(q_owner*Lq + i vs kv_owner*Lk + j), so enc/dec self-attention both work.
+
+Attention dropout folds the (query-owner, kv-owner) pair into the PRNG
+key and draws the fused counter-hash mask per block (ops/common.py
+DROPOUT_BITS): masks stay decorrelated across shards without any
+cross-device mask traffic. The mask stream differs from the dense path's
+(different element indexing), which is fine — dropout is stochastic; the
+dropout-off path is what the equivalence tests pin down.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from zero_tpu.ops.common import _hash_bits
+
+_NEG = jnp.float32(-1e9)
+
+# Mesh registry: model code (ops/attention.py) routes through shard_map but
+# only the driver knows the mesh; the driver (train.py / tests) publishes it
+# here. None => no mesh => ring attention unavailable, dense path runs.
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def set_active_mesh(mesh: Optional[Mesh]) -> None:
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH
+
+
+def seq_degree() -> int:
+    """Size of the 'seq' axis of the active mesh (1 = SP off)."""
+    m = _ACTIVE_MESH
+    return int(m.shape.get("seq", 1)) if m is not None else 1
+
+
+def ring_supported(lq: int, lk: int) -> bool:
+    n = seq_degree()
+    return n > 1 and lq % n == 0 and lk % n == 0 and lq == lk
+
+
+def ring_route_ok(batch: int, num_heads: int, lq: int, lk: int) -> bool:
+    """True when the active mesh can shard [B, H, L, dh] as
+    P('data', 'model', 'seq', None): every axis must divide its dim."""
+    m = _ACTIVE_MESH
+    if m is None or not ring_supported(lq, lk):
+        return False
+    return (batch % int(m.shape.get("data", 1)) == 0
+            and num_heads % int(m.shape.get("model", 1)) == 0)
+
+
+def _block_attn(q, kh, vh, keep, qpos, kpos, causal, rng, drop, m, l, acc):
+    """One online-softmax accumulation step against a single K/V block.
+
+    q is pre-scaled fp32 [B, H, Lq, dh]; kh/vh [B, H, Lk, dh];
+    keep [B, Lk] or None. Returns updated (m, l, acc)."""
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, kh.astype(jnp.float32))
+    if keep is not None:
+        logits = jnp.where(keep[:, None, None, :] > 0, logits, _NEG)
+    if causal:
+        allowed = kpos[None, :] <= qpos[:, None]          # [Lq, Lk]
+        logits = jnp.where(allowed[None, None], logits, _NEG)
+
+    m_new = jnp.maximum(m, jnp.max(logits, axis=-1))
+    rescale = jnp.exp(m - m_new)
+    p = jnp.exp(logits - m_new[..., None])
+    l = l * rescale + jnp.sum(p, axis=-1)
+    if rng is not None and drop:
+        t = int(round((1.0 - drop) * 256.0))
+        if t <= 0:
+            p = jnp.zeros_like(p)
+        elif t < 256:
+            bits = _hash_bits(rng, p.shape) & jnp.uint32(255)
+            p = jnp.where(bits < jnp.uint32(t), p * (256.0 / t),
+                          jnp.zeros_like(p))
+    acc = acc * rescale[..., None] + jnp.einsum(
+        "bhqk,bhkd->bhqd", p, vh.astype(jnp.float32))
+    return m_new, l, acc
+
+
+def _ring_body(qh, kh, vh, kv_keep, rng, *, n, axis_name, causal, drop):
+    """Per-device body under shard_map: n-step ring accumulation."""
+    b, h, lq, dh = qh.shape
+    lk = kh.shape[2]
+    me = jax.lax.axis_index(axis_name)
+    q = qh.astype(jnp.float32) * (dh ** -0.5)
+    qpos = me * lq + jnp.arange(lq)
+
+    m = jnp.full((b, h, lq), _NEG * 2, jnp.float32)
+    l = jnp.zeros((b, h, lq), jnp.float32)
+    acc = jnp.zeros((b, h, lq, dh), jnp.float32)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def step(carry, s):
+        m, l, acc, kh, vh, keep = carry
+        owner = (me - s) % n                      # whose K/V block we hold
+        kpos = owner * lk + jnp.arange(lk)
+        step_rng = None
+        if rng is not None and drop:
+            step_rng = jax.random.fold_in(jax.random.fold_in(rng, me), owner)
+        m, l, acc = _block_attn(q, kh, vh, keep, qpos, kpos, causal,
+                                step_rng, drop, m, l, acc)
+        if n > 1:
+            kh = jax.lax.ppermute(kh, axis_name, perm)
+            vh = jax.lax.ppermute(vh, axis_name, perm)
+            if keep is not None:
+                keep = jax.lax.ppermute(keep, axis_name, perm)
+        return (m, l, acc, kh, vh, keep), None
+
+    (m, l, acc, _, _, _), _ = jax.lax.scan(
+        step, (m, l, acc, kh, vh, kv_keep), jnp.arange(n))
+    out = acc / jnp.maximum(l[..., None], 1e-30)
+    return out.astype(qh.dtype)
+
+
+def ring_self_attention(qh, kh, vh, kv_keep=None, *, causal=False,
+                        rng=None, drop=None, mesh: Optional[Mesh] = None):
+    """Sequence-parallel self-attention on head-split projections.
+
+    qh/kh/vh: [B, H, S, dh] GLOBAL arrays (inside jit, GSPMD-sharded);
+    kv_keep: [B, S] 1/0 key-side pad mask or None. Shards B over 'data',
+    H over 'model', S over 'seq'; returns [B, H, S, dh] sharded the same
+    way. Equals dense masked softmax attention (fp32 accumulation) up to
+    summation order.
+    """
+    mesh = mesh if mesh is not None else _ACTIVE_MESH
+    if mesh is None:
+        raise ValueError("ring_self_attention needs a mesh: call "
+                         "parallel.set_active_mesh(mesh) or pass mesh=")
+    n = int(mesh.shape.get("seq", 1))
+    drop = float(drop) if (drop and rng is not None) else 0.0
+    if kv_keep is None:
+        kv_keep = jnp.ones(
+            (qh.shape[0], kh.shape[2]), jnp.float32)
+    if not drop:
+        rng = jax.random.PRNGKey(0)  # unused placeholder (shard_map arg)
+
+    body = functools.partial(_ring_body, n=n, axis_name="seq",
+                             causal=causal, drop=drop)
+    qspec = P("data", "model", "seq", None)
+    f = jax.shard_map(
+        lambda q_, k_, v_, keep_, rng_: body(q_, k_, v_, keep_, rng_),
+        mesh=mesh,
+        in_specs=(qspec, qspec, qspec, P("data", "seq"), P()),
+        out_specs=qspec,
+        check_vma=False)
+    return f(qh, kh, vh, kv_keep, rng)

@@ -24,6 +24,7 @@ from zero_tpu.models.base import get_model
 from zero_tpu.parallel import (init_train_state, make_mesh, make_train_step,
                                stack_microbatches)
 from zero_tpu.parallel import distributed as dist
+from zero_tpu.parallel import ring
 from zero_tpu.parallel.train_step import make_score_step
 from zero_tpu.pipeline import Prefetcher
 from zero_tpu.saver import Saver
@@ -187,6 +188,7 @@ def train(params) -> bool:
     pid = dist.process_index()
     mesh = make_mesh(params)
     log.info("Mesh: %s", mesh)
+    ring.set_active_mesh(mesh)  # enables ring attention when 'seq' > 1
     data_par = int(mesh.shape["data"])
     # Multi-host batches must be shape-identical across hosts. Token
     # bucketing stays available: every host builds the SAME deterministic
