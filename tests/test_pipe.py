@@ -1,0 +1,122 @@
+"""Pipeline parallelism (GPipe schedule over a 'pipe' mesh axis).
+
+An extension the reference lacks (its only parallelism is single-host
+DP, SURVEY §2.3); the equivalence target is this framework's own
+stacked-scan path: with dropout off, the pipelined train loss and
+grads must match the plain lax.scan over the same [L, ...] stacks.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from zero_tpu.models.base import get_model
+from zero_tpu.parallel import ring
+from zero_tpu.parallel import pipe as pipe_mod
+from zero_tpu.parallel.mesh import make_mesh, param_sharding
+from tests.helpers import tiny_config, toy_batch
+
+
+def _mesh(cfg):
+    need = (cfg.mesh_data * cfg.mesh_model
+            * getattr(cfg, "mesh_seq", 1) * cfg.mesh_pipe)
+    if len(jax.devices()) < need:
+        pytest.skip("needs %d devices" % need)
+    return make_mesh(cfg)
+
+
+def _cfg(**over):
+    base = dict(dropout=0.0, relu_dropout=0.0, residual_dropout=0.0,
+                attention_dropout=0.0, scan_layers=True,
+                num_encoder_layer=4, num_decoder_layer=4)
+    base.update(over)
+    return tiny_config(**base)
+
+
+def _loss_and_grads(model, params, feats, cfg, rng):
+    loss = model.train_fn(params, feats, cfg, rng, step=0)["loss"]
+    grads = jax.grad(
+        lambda p: model.train_fn(p, feats, cfg, rng, step=0)["loss"])(params)
+    return float(loss), grads
+
+
+@pytest.mark.parametrize("microbatches", [0, 4])
+@pytest.mark.parametrize("use_remat", [False, True])
+def test_pipeline_matches_scan(microbatches, use_remat):
+    cfg = _cfg(mesh_data=2, mesh_model=2, mesh_pipe=2,
+               pp_microbatches=microbatches, use_remat=use_remat)
+    model = get_model("transformer")
+    params = model.init_fn(jax.random.PRNGKey(0), cfg)
+    feats = {k: jnp.asarray(v)
+             for k, v in toy_batch(batch=4, src_len=8, tgt_len=8).items()}
+    rng = jax.random.PRNGKey(1)
+
+    dense_loss, dense_g = _loss_and_grads(model, params, feats, cfg, rng)
+    mesh = _mesh(cfg)
+    ring.set_active_mesh(mesh)
+    try:
+        assert pipe_mod.pipe_degree() == 2
+        pp_loss, pp_g = _loss_and_grads(model, params, feats, cfg, rng)
+    finally:
+        ring.set_active_mesh(None)
+
+    np.testing.assert_allclose(pp_loss, dense_loss, atol=1e-6)
+    errs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                        pp_g, dense_g)
+    assert max(jax.tree.leaves(errs)) < 1e-6
+
+
+def test_pipeline_dropout_on_trains():
+    """Dropout-on PP: masks differ from the dense run by design (per-
+    microbatch keys); the loss must stay finite and the grads nonzero."""
+    cfg = _cfg(mesh_data=1, mesh_model=1, mesh_pipe=2,
+               dropout=0.1, attention_dropout=0.1, residual_dropout=0.1,
+               relu_dropout=0.1)
+    model = get_model("transformer")
+    params = model.init_fn(jax.random.PRNGKey(0), cfg)
+    feats = {k: jnp.asarray(v)
+             for k, v in toy_batch(batch=4, src_len=8, tgt_len=8).items()}
+    mesh = _mesh(cfg)
+    ring.set_active_mesh(mesh)
+    try:
+        loss, grads = _loss_and_grads(model, params, feats, cfg,
+                                      jax.random.PRNGKey(1))
+    finally:
+        ring.set_active_mesh(None)
+    assert np.isfinite(loss)
+    norms = [float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads)]
+    assert sum(norms) > 0 and all(np.isfinite(n) for n in norms)
+
+
+def test_pipe_eligibility_fallbacks():
+    cfg = _cfg(mesh_data=2, mesh_model=1, mesh_pipe=4)
+    mesh = _mesh(cfg)
+    ring.set_active_mesh(mesh)
+    try:
+        assert pipe_mod.pipe_degree() == 4
+        assert pipe_mod.pipe_eligible(4, 8, 0)
+        assert not pipe_mod.pipe_eligible(6, 8, 0)   # layers % pipe != 0
+        assert not pipe_mod.pipe_eligible(4, 6, 0)   # batch % microbatches
+        assert pipe_mod.pipe_eligible(8, 8, 8)
+        assert not pipe_mod.pipe_eligible(8, 4, 8)   # batch < microbatches
+    finally:
+        ring.set_active_mesh(None)
+    assert pipe_mod.pipe_degree() == 1
+    assert not pipe_mod.pipe_eligible(4, 8, 0)       # no mesh -> scan
+
+
+def test_param_sharding_pipe_shards_stacks():
+    cfg = _cfg(mesh_data=2, mesh_model=2, mesh_pipe=2)
+    mesh = _mesh(cfg)
+    model = get_model("transformer")
+    params = model.init_fn(jax.random.PRNGKey(0), cfg)
+    shardings = param_sharding(params, mesh)
+    qkv = shardings["encoder"]["self"]["qkv"]["ws"][0].spec
+    assert qkv[0] == "pipe" and qkv[-1] == "model"
+    ln = shardings["decoder"]["ln1"]["scale"].spec
+    assert ln[0] == "pipe"
+    # non-stacked leaves stay off 'pipe'
+    emb = shardings["src_embedding"].spec
+    assert "pipe" not in tuple(emb)

@@ -278,6 +278,13 @@ def default_config() -> Config:
         # 1 = off. An extension the reference lacks (SURVEY §5 names SP as
         # the explicit TPU extension point for speech-length inputs).
         mesh_seq=1,
+        # pipeline-parallel ways over a 'pipe' mesh axis (GPipe schedule
+        # on scan_layers stacks; parallel/pipe.py); 1 = off. Requires
+        # scan_layers=True and layer counts divisible by mesh_pipe.
+        mesh_pipe=1,
+        # microbatches per pipeline round-trip; 0 = mesh_pipe (minimum).
+        # More microbatches shrink the (P-1)/(M+P-1) bubble.
+        pp_microbatches=0,
         # multi-host training (jax.distributed): coordinator "host:port";
         # empty = single process. The reference has no multi-node support.
         dist_coordinator="",

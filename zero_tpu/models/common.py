@@ -310,6 +310,23 @@ def make_transformer(hooks: LayerHooks, zero_softmax: bool = False,
         return [jax.tree.map(lambda a: a[l], stacked)
                 for l in range(num_layers)]
 
+    def _apply_stack(layer_fn, x, stacked_params, keys, use_remat,
+                     num_layers, cfg, consts):
+        """Stacked-layer application: pipeline-parallel over the 'pipe'
+        mesh axis when active and divisible, plain lax.scan otherwise.
+
+        layer_fn(p_l, h, rngs, consts) with ``consts`` a pytree of
+        layer-invariant tensors; under PP, batch-leading const leaves are
+        sliced to the current microbatch's rows (parallel/pipe.py)."""
+        from zero_tpu.parallel import pipe as pipe_mod
+        mb = int(getattr(cfg, "pp_microbatches", 0))
+        if pipe_mod.pipe_eligible(num_layers, x.shape[0], mb):
+            return pipe_mod.pipeline_stack(
+                layer_fn, x, stacked_params, keys, consts,
+                microbatches=mb, use_remat=use_remat)
+        return _scan_stack(lambda p_l, h, r: layer_fn(p_l, h, r, consts),
+                           x, stacked_params, keys, use_remat)
+
     # -- encoder ------------------------------------------------------------
     def _encode(params, source, cfg, rngs, dtype, training):
         mask = (source != 0).astype(dtype)
@@ -322,9 +339,11 @@ def make_transformer(hooks: LayerHooks, zero_softmax: bool = False,
         if _scan_layers(cfg):
             keys = _stacked_keys(rngs, cfg.num_encoder_layer) \
                 if training else None
-            x = _scan_stack(
-                lambda p_l, h, r: hooks.enc_layer(p_l, h, src_keep, cfg, r),
-                x, params["encoder"], keys, _use_remat(cfg, training))
+            x = _apply_stack(
+                lambda p_l, h, r, c: hooks.enc_layer(p_l, h, c["src_keep"],
+                                                     cfg, r),
+                x, params["encoder"], keys, _use_remat(cfg, training),
+                cfg.num_encoder_layer, cfg, {"src_keep": src_keep})
         else:
             for p in params["encoder"]:
                 if _use_remat(cfg, training):
@@ -355,10 +374,14 @@ def make_transformer(hooks: LayerHooks, zero_softmax: bool = False,
         if _scan_layers(cfg):
             keys = _stacked_keys(rngs, cfg.num_decoder_layer) \
                 if training else None
-            x = _scan_stack(
-                lambda p_l, h, r: hooks.dec_layer_train(
-                    p_l, h, state, self_keep, mem_keep, cfg, r, mask),
-                x, params["decoder"], keys, _use_remat(cfg, training))
+            x = _apply_stack(
+                lambda p_l, h, r, c: hooks.dec_layer_train(
+                    p_l, h, c["state"], c["self_keep"], c["mem_keep"], cfg,
+                    r, c["mask"]),
+                x, params["decoder"], keys, _use_remat(cfg, training),
+                cfg.num_decoder_layer, cfg,
+                {"state": state, "self_keep": self_keep,
+                 "mem_keep": mem_keep, "mask": mask})
         else:
             for p in params["decoder"]:
                 if _use_remat(cfg, training):

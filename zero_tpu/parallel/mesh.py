@@ -22,34 +22,44 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(cfg=None, data: Optional[int] = None,
               model: Optional[int] = None, seq: Optional[int] = None,
-              devices=None) -> Mesh:
-    """Build a ('data', 'model') mesh — or ('data', 'model', 'seq') when
-    sequence parallelism is requested — over available devices."""
+              pipe: Optional[int] = None, devices=None) -> Mesh:
+    """Build a mesh over available devices: always ('data', 'model'),
+    plus a 'seq' axis (ring-attention sequence parallelism) and/or a
+    'pipe' axis (pipeline parallelism) when requested with degree > 1."""
     devices = devices if devices is not None else jax.devices()
     if cfg is not None:
         model = model or int(getattr(cfg, "mesh_model", 1))
         data = data or int(getattr(cfg, "mesh_data", -1))
         seq = seq or int(getattr(cfg, "mesh_seq", 1))
+        pipe = pipe or int(getattr(cfg, "mesh_pipe", 1))
     model = model or 1
     seq = seq or 1
+    pipe = pipe or 1
+    extra = model * seq * pipe
     if data is None or data <= 0:
-        data = len(devices) // (model * seq)
-    if data <= 0 or len(devices) < data * model * seq:
+        data = len(devices) // extra
+    if data <= 0 or len(devices) < data * extra:
         raise ValueError(
-            "make_mesh needs data*model*seq = %s*%s*%s = %s devices but only "
-            "%d are available on platform %r. Set mesh_data/mesh_model/"
-            "mesh_seq to fit the hardware, or for a virtual multi-device CPU "
-            "mesh set XLA_FLAGS=--xla_force_host_platform_device_count=N and "
+            "make_mesh needs data*model*seq*pipe = %s*%s*%s*%s = %s devices "
+            "but only %d are available on platform %r. Set mesh_data/"
+            "mesh_model/mesh_seq/mesh_pipe to fit the hardware, or for a "
+            "virtual multi-device CPU mesh set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N and "
             "jax.config.update('jax_platforms', 'cpu') before first device "
-            "use." % (data, model, seq, max(data, 0) * model * seq,
+            "use." % (data, model, seq, pipe, max(data, 0) * extra,
                       len(devices),
                       devices[0].platform if devices else "?"))
-    used = devices[:data * model * seq]
+    used = devices[:data * extra]
+    names = ["data", "model"]
+    dims = [data, model]
     if seq > 1:
-        arr = np.asarray(used).reshape(data, model, seq)
-        return Mesh(arr, ("data", "model", "seq"))
-    arr = np.asarray(used).reshape(data, model)
-    return Mesh(arr, ("data", "model"))
+        names.append("seq")
+        dims.append(seq)
+    if pipe > 1:
+        names.append("pipe")
+        dims.append(pipe)
+    arr = np.asarray(used).reshape(dims)
+    return Mesh(arr, tuple(names))
 
 
 # Megatron-style tensor-parallel layout: column-parallel qkv/q/k/v/enlarge
@@ -151,15 +161,30 @@ def param_sharding(params, mesh: Mesh, warn_unsharded: bool = True):
                 "fully replicated; extend mesh.py rules or add it to the "
                 "replicated-by-design list", p)
 
+    pipe = int(mesh.shape.get("pipe", 1))
+
     def mk(path, leaf):
         if not hasattr(leaf, "shape"):
             return NamedSharding(mesh, P())
-        spec = spec_for_param(_path_str(path), leaf.shape)
+        pstr = _path_str(path)
+        spec = spec_for_param(pstr, leaf.shape)
         fixed = []
         for d, axis in enumerate(spec):
             if axis is not None and leaf.shape[d] % mesh.shape[axis] != 0:
                 axis = None
             fixed.append(axis)
+        # scan_layers stacks ([L, ...] leaves directly under encoder/ or
+        # decoder/ -- a LIST layout has a layer index as the second path
+        # component): shard the layer dim over 'pipe' so each stage holds
+        # only its own layers' weights (and Adam moments / EMA, which
+        # mirror these specs)
+        parts = pstr.split("/")
+        if (pipe > 1 and len(parts) > 1 and parts[0] in ("encoder", "decoder")
+                and not parts[1].isdigit() and leaf.ndim >= 1
+                and leaf.shape[0] % pipe == 0):
+            fixed = ["pipe"] + list(fixed[1:]) + \
+                [None] * max(0, leaf.ndim - max(len(fixed), 1))
+            fixed = fixed[:leaf.ndim]
         return NamedSharding(mesh, P(*fixed))
     return jax.tree_util.tree_map_with_path(mk, params)
 

@@ -75,6 +75,14 @@ def ring_route_ok(batch: int, num_heads: int, lq: int, lk: int) -> bool:
     m = _ACTIVE_MESH
     if m is None or not ring_supported(lq, lk):
         return False
+    # inside another partial-manual region (the 'pipe' pipeline), a
+    # nested manual 'seq' computation is rejected by the shardy lowering
+    # ("axis already bound by a parent manual computation", jax 0.9.0):
+    # fall back to the dense path there (still sharded over the auto
+    # axes by GSPMD)
+    ambient = jax.sharding.get_abstract_mesh()
+    if ambient is not None and getattr(ambient, "manual_axes", ()):
+        return False
     return (batch % int(m.shape.get("data", 1)) == 0
             and num_heads % int(m.shape.get("model", 1)) == 0)
 
@@ -116,9 +124,14 @@ def _ring_body(qh, kh, vh, kv_keep, rng, *, n, axis_name, causal, drop):
     q = qh.astype(jnp.float32) * (dh ** -0.5)
     qpos = me * lq + jnp.arange(lq)
 
-    m = jnp.full((b, h, lq), _NEG * 2, jnp.float32)
-    l = jnp.zeros((b, h, lq), jnp.float32)
-    acc = jnp.zeros((b, h, lq, dh), jnp.float32)
+    # online-softmax carries vary across seq members from round 1 on (and
+    # across any enclosing manual axes, e.g. nested inside the 'pipe'
+    # pipeline): derive the zero inits from q so they inherit the full
+    # varying-axes type instead of pinning a hardcoded axis set
+    zero = q[..., 0] * 0
+    m = zero + _NEG * 2
+    l = zero
+    acc = q * 0
     perm = [(i, (i + 1) % n) for i in range(n)]
 
     def step(carry, s):
@@ -167,11 +180,20 @@ def ring_self_attention(qh, kh, vh, kv_keep=None, *, causal=False,
 
     body = functools.partial(_ring_body, n=n, axis_name="seq",
                              causal=causal, drop=drop)
-    qspec = P("data", "model", "seq", None)
+    # partial-manual: only 'seq' is mapped here; batch/head sharding over
+    # 'data'/'model' stays GSPMD-managed, which also lets the ring nest
+    # inside other partial-manual regions (the 'pipe' pipeline). When an
+    # ambient mesh context is already set (inside such a region), the
+    # mesh kwarg must be omitted -- the context supplies it.
+    qspec = P(None, None, "seq", None)
+    kwargs = {}
+    ambient = jax.sharding.get_abstract_mesh()
+    if ambient is None or not ambient.shape:
+        kwargs["mesh"] = mesh
     f = jax.shard_map(
         lambda q_, k_, v_, keep_, rng_: body(q_, k_, v_, keep_, rng_),
-        mesh=mesh,
-        in_specs=(qspec, qspec, qspec, P("data", "seq"), P()),
+        axis_names={"seq"},
+        in_specs=(qspec, qspec, qspec, P(None, "seq"), P()),
         out_specs=qspec,
-        check_vma=False)
+        **kwargs)
     return f(qh, kh, vh, kv_keep, rng)
