@@ -285,6 +285,16 @@ def default_config() -> Config:
         # microbatches per pipeline round-trip; 0 = mesh_pipe (minimum).
         # More microbatches shrink the (P-1)/(M+P-1) bubble.
         pp_microbatches=0,
+        # expert-parallel ways over an 'expert' mesh axis (shards the
+        # transformer_moe expert weights; ops/moe.py); 1 = off
+        mesh_expert=1,
+        # transformer_moe (Switch/GShard extension): expert count,
+        # routed experts per token (1=Switch, 2=GShard), train-time
+        # capacity factor, load-balance aux-loss weight
+        moe_num_experts=8,
+        moe_top_k=1,
+        moe_capacity_factor=1.25,
+        moe_aux_weight=0.01,
         # multi-host training (jax.distributed): coordinator "host:port";
         # empty = single process. The reference has no multi-node support.
         dist_coordinator="",

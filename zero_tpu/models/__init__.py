@@ -23,3 +23,4 @@ from zero_tpu.models import transformer_afs  # noqa: F401
 from zero_tpu.models import transformer_ibdecoder  # noqa: F401
 from zero_tpu.models import transformer_multilingual  # noqa: F401
 from zero_tpu.models import transformer_clsr  # noqa: F401
+from zero_tpu.models import transformer_moe  # noqa: F401

@@ -22,42 +22,44 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(cfg=None, data: Optional[int] = None,
               model: Optional[int] = None, seq: Optional[int] = None,
-              pipe: Optional[int] = None, devices=None) -> Mesh:
+              pipe: Optional[int] = None, expert: Optional[int] = None,
+              devices=None) -> Mesh:
     """Build a mesh over available devices: always ('data', 'model'),
-    plus a 'seq' axis (ring-attention sequence parallelism) and/or a
-    'pipe' axis (pipeline parallelism) when requested with degree > 1."""
+    plus a 'seq' axis (ring-attention sequence parallelism), a 'pipe'
+    axis (pipeline parallelism) and/or an 'expert' axis (MoE expert
+    parallelism) when requested with degree > 1."""
     devices = devices if devices is not None else jax.devices()
     if cfg is not None:
         model = model or int(getattr(cfg, "mesh_model", 1))
         data = data or int(getattr(cfg, "mesh_data", -1))
         seq = seq or int(getattr(cfg, "mesh_seq", 1))
         pipe = pipe or int(getattr(cfg, "mesh_pipe", 1))
+        expert = expert or int(getattr(cfg, "mesh_expert", 1))
     model = model or 1
     seq = seq or 1
     pipe = pipe or 1
-    extra = model * seq * pipe
+    expert = expert or 1
+    extra = model * seq * pipe * expert
     if data is None or data <= 0:
         data = len(devices) // extra
     if data <= 0 or len(devices) < data * extra:
         raise ValueError(
-            "make_mesh needs data*model*seq*pipe = %s*%s*%s*%s = %s devices "
-            "but only %d are available on platform %r. Set mesh_data/"
-            "mesh_model/mesh_seq/mesh_pipe to fit the hardware, or for a "
-            "virtual multi-device CPU mesh set "
+            "make_mesh needs data*model*seq*pipe*expert = %s*%s*%s*%s*%s = "
+            "%s devices but only %d are available on platform %r. Set "
+            "mesh_data/mesh_model/mesh_seq/mesh_pipe/mesh_expert to fit the "
+            "hardware, or for a virtual multi-device CPU mesh set "
             "XLA_FLAGS=--xla_force_host_platform_device_count=N and "
             "jax.config.update('jax_platforms', 'cpu') before first device "
-            "use." % (data, model, seq, pipe, max(data, 0) * extra,
-                      len(devices),
+            "use." % (data, model, seq, pipe, expert,
+                      max(data, 0) * extra, len(devices),
                       devices[0].platform if devices else "?"))
     used = devices[:data * extra]
     names = ["data", "model"]
     dims = [data, model]
-    if seq > 1:
-        names.append("seq")
-        dims.append(seq)
-    if pipe > 1:
-        names.append("pipe")
-        dims.append(pipe)
+    for name, deg in (("seq", seq), ("pipe", pipe), ("expert", expert)):
+        if deg > 1:
+            names.append(name)
+            dims.append(deg)
     arr = np.asarray(used).reshape(dims)
     return Mesh(arr, tuple(names))
 
@@ -82,7 +84,10 @@ _TP_REPLICATED_OK = re.compile(
     r"(hide_x|hide_h|gate_x|gate_h|feed_query|feed_memory|feed_logits"
     r"|context_att|decoder_init|pre_logits|redict|\bff\b|_rpr|\bkeys\b"
     r"|\bvalues\b|source_pruning|\bgate\b|\bln\d?\b|offset|scale"
-    r"|frontend|cond|forward|backward|enc\d|dec_)")
+    r"|frontend|cond|forward|backward|enc\d|dec_"
+    # MoE: the router is tiny; expert stacks shard over 'expert', not
+    # 'model' (param_sharding EP rule)
+    r"|router|experts)")
 
 
 def unsharded_big_params(params, mesh: Mesh, min_elems: int = 65536):
@@ -162,11 +167,19 @@ def param_sharding(params, mesh: Mesh, warn_unsharded: bool = True):
                 "replicated-by-design list", p)
 
     pipe = int(mesh.shape.get("pipe", 1))
+    expert = int(mesh.shape.get("expert", 1))
 
     def mk(path, leaf):
         if not hasattr(leaf, "shape"):
             return NamedSharding(mesh, P())
         pstr = _path_str(path)
+        # MoE expert-stacked weights ([E, ...] under an 'experts' node,
+        # ops/moe.py): shard the expert dim over 'expert' (EP); the
+        # dispatch/combine einsums become GSPMD all-to-alls
+        if expert > 1 and "/experts/" in "/" + pstr + "/" \
+                and leaf.ndim >= 1 and leaf.shape[0] % expert == 0:
+            return NamedSharding(
+                mesh, P("expert", *([None] * (leaf.ndim - 1))))
         spec = spec_for_param(pstr, leaf.shape)
         fixed = []
         for d, axis in enumerate(spec):
