@@ -41,7 +41,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from zero_tpu.ops.common import _hash_bits
 
-_NEG = jnp.float32(-1e9)
+# plain python float, NOT jnp.float32(...): a module-level jnp constant
+# would initialize the XLA backend at import time, which breaks
+# jax.distributed.initialize in multi-host workers (train.py imports
+# this module)
+_NEG = -1e9
 
 # Mesh registry: model code (ops/attention.py) routes through shard_map but
 # only the driver knows the mesh; the driver (train.py / tests) publishes it
