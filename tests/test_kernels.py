@@ -364,6 +364,38 @@ def test_decode_pool_attention_matches_gathered_reference():
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_decode_pool_attention_relu_matches_rela_reference():
+    """relu mode == ReLA attention (unnormalized relu weights,
+    modules/rela.py semantics) over the per-beam gathered cache."""
+    B, K, H, T, D = 2, 4, 4, 24, 16
+    hidden = H * D
+    rs = np.random.RandomState(9)
+    q = _rand(21, B, K, hidden)
+    k = _rand(22, B, K, T, hidden)
+    v = _rand(23, B, K, T, hidden)
+    anc = jnp.asarray(rs.randint(0, K, (B, K, T)).astype(np.int32))
+    for time in (0, 9, T - 1):
+        ident = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :, None],
+                                 (B, K, 1))
+        anc_eff = jax.lax.dynamic_update_slice(anc, ident, (0, 0, time))
+        o = da_mod.decode_pool_attention(q, k, v, anc_eff, time, H,
+                                         relu=True, interpret=True)
+        kg = jnp.take_along_axis(k, anc_eff[:, :, :, None], axis=1)
+        vg = jnp.take_along_axis(v, anc_eff[:, :, :, None], axis=1)
+        qh = q.reshape(B * K, 1, H, D).transpose(0, 2, 1, 3)
+        kh = kg.reshape(B * K, T, H, D).transpose(0, 2, 1, 3)
+        vh = vg.reshape(B * K, T, H, D).transpose(0, 2, 1, 3)
+        mask = (jnp.arange(T) <= time).astype(jnp.float32)
+        logits = jnp.einsum("bhqd,bhkd->bhqk",
+                            qh.astype(jnp.float32) * (D ** -0.5),
+                            kh.astype(jnp.float32))
+        w = jax.nn.relu(logits * mask[None, None, None, :])
+        r = jnp.einsum("bhqk,bhkd->bhqd", w, vh.astype(jnp.float32))
+        r = r.transpose(0, 2, 1, 3).reshape(B, K, hidden)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_decode_pool_supported_bounds():
     assert da_mod.pool_supported(4, 82, 512, 8)
     assert not da_mod.pool_supported(1, 82, 512, 8)    # no beams: plain kernel

@@ -81,7 +81,8 @@ def dec_layer_precompute(p, encodes, cfg):
 
 def dec_layer_step(p, x_t, layer_state, state, cache, time, cfg):
     y, cache = attention.self_attn_step(p["self"], x_t, cache, time,
-                                        cfg.num_heads, relu=True)
+                                        cfg.num_heads, relu=True,
+                                        use_flash=cfg.use_flash_decode)
     x_t = nn.layer_norm(p["ln1"], x_t + y)
     y, _ = attention.cross_attn_step(p["cross"], x_t, layer_state,
                                      state["mask"], cfg.num_heads, relu=True)
@@ -99,7 +100,10 @@ HOOKS = common.LayerHooks(
     dec_layer_precompute=dec_layer_precompute,
     init_dec_layer_cache=base.init_dec_layer_cache,
     dec_layer_step=dec_layer_step,
-    pool_kernel=False,  # RPR/ReLA decode paths are not pool-kernel eligible
+    # the pool kernel's relu mode (decode_attention.py) covers ReLA's
+    # unnormalized relu attention; the gated-RMSNorm epilogue runs in
+    # self_attn_step after the kernel
+    pool_kernel=True,
 )
 
 init_fn, train_fn, score_fn, infer_fn = common.make_transformer(HOOKS)

@@ -393,8 +393,8 @@ def self_attn_step(params, x_t, cache, time, num_heads, *,
         batch, beams = ancestry.shape[:2]
         hidden = k.shape[2]
         use_pool_kernel = False
-        if use_flash and not relu and rpr_tables is None \
-                and x_t.shape[1] == 1:
+        if use_flash and rpr_tables is None and x_t.shape[1] == 1:
+            # the pool kernel handles both softmax and ReLA (relu) paths
             import zero_tpu.ops.kernels.decode_attention as da_mod
             use_pool_kernel = (jax.default_backend() == "tpu"
                                and da_mod.pool_supported(beams, t_max,
@@ -411,7 +411,7 @@ def self_attn_step(params, x_t, cache, time, num_heads, *,
                 q.reshape(batch, beams, hidden),
                 k.reshape(batch, beams, t_max, hidden),
                 v.reshape(batch, beams, t_max, hidden),
-                anc_eff, time, num_heads)
+                anc_eff, time, num_heads, relu=relu)
             o = o.reshape(batch * beams, 1, hidden)
         else:
             o = _ancestry_attn(q, k, v, ancestry, time, num_heads,

@@ -155,7 +155,7 @@ def _cross_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, num_heads: int):
 
 
 def _pool_kernel(time_ref, q_ref, k_ref, v_ref, anc_ref, o_ref, *,
-                 num_heads: int):
+                 num_heads: int, relu: bool = False):
     """Ancestry-selected beam attention over one batch row's UNPERMUTED
     KV pool (see ops/attention.py:_ancestry_attn for the math).
 
@@ -200,9 +200,16 @@ def _pool_kernel(time_ref, q_ref, k_ref, v_ref, anc_ref, o_ref, *,
     s_acc = s_acc * scale
     pos = jax.lax.broadcasted_iota(jnp.int32, (rows, t_max), 1)
     s_acc = jnp.where(pos <= t, s_acc, NEG_INF)
-    m = jnp.max(s_acc, axis=1, keepdims=True)
-    p = jnp.exp(s_acc - m)
-    w = p / jnp.sum(p, axis=1, keepdims=True)             # [H*K, T] f32
+    if relu:
+        # ReLA: relu weights, no normalization (modules/rela.py:63-72;
+        # masked positions become relu(NEG_INF) = 0, identical to the
+        # reference's zero-multiply masking). The gated-RMSNorm
+        # epilogue runs outside the kernel (self_attn_step).
+        w = jax.nn.relu(s_acc)                            # [H*K, T] f32
+    else:
+        m = jnp.max(s_acc, axis=1, keepdims=True)
+        p = jnp.exp(s_acc - m)
+        w = p / jnp.sum(p, axis=1, keepdims=True)         # [H*K, T] f32
 
     mixed = jnp.zeros((rows, hidden), jnp.float32)
     for j in range(beams):
@@ -218,17 +225,19 @@ def _pool_kernel(time_ref, q_ref, k_ref, v_ref, anc_ref, o_ref, *,
     o_ref[0] = o.astype(o_ref.dtype)                      # [K, hidden]
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "relu", "interpret"))
 def decode_pool_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                           ancestry: jax.Array, time: jax.Array,
-                          num_heads: int,
+                          num_heads: int, relu: bool = False,
                           interpret: bool = False) -> jax.Array:
     """Ancestry-selected single-step attention over unpermuted beam pools.
 
     q: [B, K, hidden] beam queries; k, v: [B, K, T_max, hidden] pools
     already holding this step's entries at ``time``; ancestry:
     [B, K, T_max] int32 pool-row indices with column ``time`` set to
-    identity. Attends over positions <= time. Returns [B, K, hidden].
+    identity. Attends over positions <= time. relu=True switches the
+    softmax for ReLA's unnormalized relu weights. Returns [B, K, hidden].
     """
     b, beams, hidden = q.shape
     t_max = k.shape[2]
@@ -253,7 +262,7 @@ def decode_pool_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         out_specs=q_spec,
     )
     return pl.pallas_call(
-        functools.partial(_pool_kernel, num_heads=num_heads),
+        functools.partial(_pool_kernel, num_heads=num_heads, relu=relu),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, beams, hidden), q.dtype),
         interpret=interpret,

@@ -128,9 +128,9 @@ def check_flash_decode_oracle():
             v.insert("w%d" % i)
         return v
 
-    def cfg_for(flash):
+    def cfg_for(name, flash):
         cfg = default_config()
-        cfg.model_name = cfg.scope_name = "transformer"
+        cfg.model_name = cfg.scope_name = name
         cfg.hidden_size = cfg.embed_size = 128
         cfg.filter_size = 256
         cfg.num_heads = 4
@@ -144,22 +144,25 @@ def check_flash_decode_oracle():
         cfg.use_flash_decode = flash
         return cfg
 
-    model = get_model("transformer")
-    params = model.init_fn(jax.random.PRNGKey(0), cfg_for(False))
-    rs = np.random.RandomState(0)
-    src = rs.randint(3, 20, (8, 9)).astype(np.int32)
-    src[:, -1] = 2
-    feats = {"src": jnp.asarray(src)}
-    o_x = make_decode_fn(cfg_for(False), model)(params, feats)
-    o_f = make_decode_fn(cfg_for(True), model)(params, feats)
-    seq_x = np.asarray(o_x["seq"])
-    seq_f = np.asarray(o_f["seq"])
-    np.testing.assert_array_equal(seq_x, seq_f)
-    np.testing.assert_allclose(np.asarray(o_x["score"], np.float32),
-                               np.asarray(o_f["score"], np.float32),
-                               rtol=2e-2, atol=2e-2)
-    print("ok flash decode oracle: kernel-on seq == XLA seq "
-          "(%d rows, beam 4)" % seq_x.shape[0])
+    # transformer exercises the softmax pool kernel, transformer_rela the
+    # relu (ReLA) mode added in r3
+    for name in ("transformer", "transformer_rela"):
+        model = get_model(name)
+        params = model.init_fn(jax.random.PRNGKey(0), cfg_for(name, False))
+        rs = np.random.RandomState(0)
+        src = rs.randint(3, 20, (8, 9)).astype(np.int32)
+        src[:, -1] = 2
+        feats = {"src": jnp.asarray(src)}
+        o_x = make_decode_fn(cfg_for(name, False), model)(params, feats)
+        o_f = make_decode_fn(cfg_for(name, True), model)(params, feats)
+        seq_x = np.asarray(o_x["seq"])
+        seq_f = np.asarray(o_f["seq"])
+        np.testing.assert_array_equal(seq_x, seq_f)
+        np.testing.assert_allclose(np.asarray(o_x["score"], np.float32),
+                                   np.asarray(o_f["score"], np.float32),
+                                   rtol=2e-2, atol=2e-2)
+        print("ok flash decode oracle [%s]: kernel-on seq == XLA seq "
+              "(%d rows, beam 4)" % (name, seq_x.shape[0]))
 
 
 def check_attention_kernels():
