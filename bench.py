@@ -249,6 +249,50 @@ def bench_big():
                        vocab_hi=30000)
 
 
+def moe_train_flops(cfg, rows, src_len, tgt_len):
+    """Base transformer FLOPs with the dense FFN replaced by the MoE
+    terms: top_k expert FFNs per token (capacity drops make this an
+    upper bound, so MFU is conservative), the [B,S,E,C] dispatch +
+    combine einsums, and the router projection."""
+    import math as _math
+
+    from zero_tpu.ops.moe import capacity
+
+    d = cfg.hidden_size
+    f = cfg.filter_size
+    e = int(cfg.moe_num_experts)
+    k = int(cfg.moe_top_k)
+    Le, Ld = cfg.num_encoder_layer, cfg.num_decoder_layer
+    base = transformer_train_flops(cfg, rows, src_len, tgt_len)
+    layers = [(Le, src_len), (Ld, tgt_len)]
+    extra = 0.0
+    for n_layers, s in layers:
+        c = capacity(s, e, float(cfg.moe_capacity_factor), k)
+        per_tok = ((k - 1) * 4 * d * f      # extra expert FFNs beyond dense
+                   + 4 * e * c * d          # dispatch + combine einsums
+                   + 2 * d * e)             # router
+        extra += rows * s * n_layers * per_tok
+    return base + 3.0 * extra
+
+
+def bench_moe():
+    """Mixture-of-experts transformer (Switch top-1, 8 experts): the r3
+    expert-parallel extension measured single-chip (all experts local;
+    the all-to-alls are free, so this isolates the static-shape dispatch
+    overhead vs the dense FFN). Multi-chip EP needs real hardware
+    (STATUS.md deferred)."""
+    from __graft_entry__ import _base_config
+
+    cfg = _base_config()
+    cfg.model_name = cfg.scope_name = "transformer_moe"
+    cfg.moe_num_experts = 8
+    cfg.moe_top_k = 1
+    cfg.moe_capacity_factor = 1.25
+    rows, L = 256, 128
+    return bench_train(cfg, rows, L, L, vocab_hi=30000,
+                       flops_per_step=moe_train_flops(cfg, rows, L, L))
+
+
 def rpr_train_flops(cfg, rows, src_len, tgt_len):
     """Base transformer FLOPs + the RPR extras: relative-key logits and
     relative-value accumulation add 4*L*d per self-attention token."""
@@ -466,6 +510,9 @@ def main():
         run("transformer_rpr_train", bench_rpr)
         # 7. transformer-big (d=1024): reference headline WMT14 config
         run("transformer_big_train", bench_big)
+        # 8. MoE (Switch top-1, 8 experts): r3 expert-parallel extension,
+        #    single-chip dispatch-overhead measurement
+        run("transformer_moe_train", bench_moe)
 
     details["total_bench_s"] = round(time.perf_counter() - started, 1)
     with open("BENCH_DETAILS.json", "w") as f:

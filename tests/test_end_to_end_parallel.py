@@ -44,3 +44,17 @@ def test_train_with_pipeline_parallel_mesh(copy_task, tmp_path):  # noqa: F811
                            scan_layers=True,
                            num_encoder_layer=2, num_decoder_layer=2)
     assert bleu > 0.5, bleu
+
+
+def test_train_with_expert_parallel_mesh(copy_task, tmp_path):  # noqa: F811
+    """mesh_expert=4 + transformer_moe: expert-stacked FFN weights shard
+    over the 'expert' axis and the GSPMD all-to-all dispatch trains the
+    copy task through the full driver, then decodes (lossless eval
+    routing keeps the cache==dev property under the sharded mesh)."""
+    bleu = _train_and_eval(copy_task, tmp_path / "ep",
+                           mesh_data=2, mesh_model=1, mesh_expert=4,
+                           model_name="transformer_moe",
+                           scope_name="transformer_moe",
+                           moe_num_experts=4, moe_top_k=1,
+                           moe_capacity_factor=2.0)
+    assert bleu > 0.5, bleu
