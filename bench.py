@@ -471,10 +471,20 @@ def main():
             lambda: bench_decode("transformer", batch_rows=64, src_len=32))
         run("transformer_base_decode_beam4_b128",
             lambda: bench_decode("transformer", batch_rows=128, src_len=32))
+        run("transformer_base_decode_beam4_b256",
+            lambda: bench_decode("transformer", batch_rows=256, src_len=32))
+        # single-sentence serving latency (sentences/s at B=1 == 1/latency)
+        run("transformer_base_decode_beam4_b1",
+            lambda: bench_decode("transformer", batch_rows=1, src_len=32))
+        b1 = details["configs"].get("transformer_base_decode_beam4_b1", {})
+        if b1.get("sentences_per_sec"):
+            b1["latency_ms_per_sentence"] = round(
+                1000.0 / b1["sentences_per_sec"], 1)
         curve = {}
         for rows, key in ((32, "transformer_base_decode_beam4"),
                           (64, "transformer_base_decode_beam4_b64"),
-                          (128, "transformer_base_decode_beam4_b128")):
+                          (128, "transformer_base_decode_beam4_b128"),
+                          (256, "transformer_base_decode_beam4_b256")):
             sps = details["configs"].get(key, {}).get("sentences_per_sec")
             if sps:
                 curve["b%d" % rows] = sps
@@ -486,7 +496,11 @@ def main():
                  if "b128" in curve and "b32" in curve else None)
         details["configs"]["decode_scaling"] = dict(
             curve, b128_over_b32=ratio,
-            monotone=(list(curve.values()) == sorted(curve.values())))
+            # the r2 regression criterion: larger serving batches never
+            # LOSE absolute sentences/s vs B=32
+            non_decreasing_vs_b32=(
+                all(v >= curve["b32"] for v in curve.values())
+                if "b32" in curve else None))
         # 3c. ReLA sparse-attention decode (reference publishes speed
         #     ratios vs softmax: docs/rela_sparse_attention/README.md)
         run("transformer_rela_decode_beam4",
