@@ -100,9 +100,13 @@ def numpy_beam_search(logits_fn, src_mask, cfg, eos_id):
     return seqs[:, :, 1:], scores
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
-def test_jit_beam_matches_numpy_oracle(seed):
-    cfg = tiny_config(model_name="transformer", beam_size=3,
+@pytest.mark.parametrize("seed,beam_size", [(0, 3), (1, 3), (2, 3),
+                                            (0, 13)])
+def test_jit_beam_matches_numpy_oracle(seed, beam_size):
+    # beam_size=13 > vocab/2 (V=23 < 2K=26): exercises the kprime =
+    # min(2K, V) clamp in the two-stage top-k (pre-clamp, lax.top_k
+    # rejected k > V at trace time for toy/char-scale vocabularies)
+    cfg = tiny_config(model_name="transformer", beam_size=beam_size,
                       decode_length=6, decode_max_len=16)
     model = get_model("transformer")
     params = model.init_fn(jax.random.PRNGKey(seed), cfg)

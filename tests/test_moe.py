@@ -36,8 +36,9 @@ def test_single_expert_equals_dense_ffn():
 
 
 def test_routing_matches_per_token_expert():
-    """With no capacity pressure, each token's output is gate * its
-    chosen expert's FFN (top-1)."""
+    """With no capacity pressure, each token's output is p_i * its
+    chosen expert's FFN (Switch top-1: the gate IS the router prob --
+    that product carries the router's task-loss gradient)."""
     rs = np.random.RandomState(1)
     d, f, e = 8, 16, 4
     p = _moe_params(jax.random.PRNGKey(1), d, f, e)
@@ -54,8 +55,26 @@ def test_routing_matches_per_token_expert():
             h = jax.nn.relu(x[b, t] @ p["experts"]["w1"][k]
                             + p["experts"]["b1"][k])
             o = h @ p["experts"]["w2"][k] + p["experts"]["b2"][k]
-            ref[b, t] = np.asarray(o)   # gate renormalizes to 1 at k=1
+            ref[b, t] = float(probs[b, t, k]) * np.asarray(o)
     np.testing.assert_allclose(np.asarray(y), ref, atol=1e-5)
+
+
+def test_top1_router_gets_task_gradient():
+    """The Switch gate (= router prob) must carry task-loss gradient to
+    the router WITHOUT the aux loss -- a renormalized top-1 gate is
+    identically 1.0 and severs it (r3 review finding)."""
+    rs = np.random.RandomState(5)
+    d, f, e = 8, 16, 4
+    p = _moe_params(jax.random.PRNGKey(5), d, f, e)
+    x = jnp.asarray(rs.randn(2, 6, d).astype(np.float32))
+
+    def loss(p_):
+        y = moe.moe_ffn(p_, x, num_experts=e, training=True)
+        return jnp.sum(y * y)
+
+    g = jax.grad(loss)(p)
+    router_g = float(jnp.sum(jnp.abs(g["router"]["ws"][0])))
+    assert router_g > 0
 
 
 def test_capacity_drops_overflow_tokens():

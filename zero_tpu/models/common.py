@@ -55,9 +55,10 @@ class LayerHooks(NamedTuple):
     # optional encoder-output postprocessor (e.g. L0Drop): (params, state, cfg, rngs, training) -> state
     post_encode: Optional[Callable] = None
     # False for variants whose decode self-attention the fused pool kernel
-    # cannot serve (RPR tables, ReLA): on TPU they keep the classic
-    # gathered cache; the XLA ancestry path would be slower than the
-    # gather it avoids (r3 A/B: 104 vs 235 sent/s at B=32)
+    # cannot serve (RPR's relative-position tables; ReLA is served via the
+    # kernel's relu mode): on TPU they keep the classic gathered cache;
+    # the XLA ancestry path would be slower than the gather it avoids
+    # (r3 A/B: 104 vs 235 sent/s at B=32)
     pool_kernel: bool = True
     # optional post-stack transforms (fixup's trailing shift/scale):
     init_enc_post: Optional[Callable] = None  # (key, cfg) -> params

@@ -92,7 +92,9 @@ HOOKS = common.LayerHooks(
     dec_layer_precompute=base.dec_layer_precompute,
     init_dec_layer_cache=base.init_dec_layer_cache,
     dec_layer_step=dec_layer_step,
-    pool_kernel=False,  # RPR/ReLA decode paths are not pool-kernel eligible
+    pool_kernel=False,  # RPR's relative-position tables need per-step
+    # score offsets the pool kernel doesn't compute (ReLA, by contrast,
+    # rides the kernel's relu mode since r3)
 )
 
 init_fn, train_fn, score_fn, infer_fn = common.make_transformer(HOOKS)

@@ -9,8 +9,9 @@ no hand-written collectives, matching the framework's GSPMD-first
 stance (SURVEY §2.3).
 
 Design (static shapes throughout, per XLA requirements):
-  * top-1 (Switch, Fedus et al. 2021) or top-2 (GShard, Lepikhin et
-    al. 2020) routing with renormalized gates;
+  * top-1 (Switch, Fedus et al. 2021: gate = router prob, which carries
+    the router's task-loss gradient) or top-2 (GShard, Lepikhin et al.
+    2020: gates renormalized over the chosen k) routing;
   * per-row capacity C = ceil(S * capacity_factor * k / E): each batch
     row is its own dispatch group, so the [B, S, E, C] dispatch tensor
     stays small and the decode step (S=1, C=1) routes losslessly;
@@ -82,10 +83,17 @@ def moe_ffn(params, x, rngs=None, drop=None, *, num_experts: int,
     logits = nn.linear(params["router"], x).astype(jnp.float32)  # [B,S,E]
     probs = jax.nn.softmax(logits, axis=-1)
 
-    # top-k expert choices per token; gates renormalized over the chosen k
+    # top-k expert choices per token. Switch (top-1) scales the expert
+    # output by the router prob p_i itself -- that product is how the
+    # router gets task-loss gradient (Fedus et al. 2021 §2.2; a
+    # renormalized top-1 gate is identically 1 and severs it). GShard
+    # (top-2) renormalizes the gates over the chosen k.
     top_probs, top_idx = jax.lax.top_k(probs, top_k)     # [B, S, k]
-    gates = top_probs / jnp.maximum(
-        jnp.sum(top_probs, axis=-1, keepdims=True), 1e-9)
+    if top_k == 1:
+        gates = top_probs
+    else:
+        gates = top_probs / jnp.maximum(
+            jnp.sum(top_probs, axis=-1, keepdims=True), 1e-9)
 
     # position of each token in its expert's buffer, k slots sequenced so
     # primary choices claim capacity first

@@ -155,16 +155,20 @@ def beam_search(params, source, inference, cfg, rng: Optional[jax.Array] = None)
         # log-probs + scores: measured 0.90 -> 0.28 ms/step at 512 rows
         # (v5e, scripts/ablations/ab_decode_breakdown.py).
         lse = jax.scipy.special.logsumexp(logits, axis=-1)  # [B*K]
-        cand_val, cand_idx = jax.lax.top_k(blocked, 2 * beam_size)
+        # kprime = min(2K, V): tiny vocabularies (toy/char tasks) can have
+        # V < 2K, where the per-row stage simply keeps the whole row --
+        # still exact, and lax.top_k would reject k > V
+        kprime = min(2 * beam_size, vocab)
+        cand_val, cand_idx = jax.lax.top_k(blocked, kprime)
         penalty = jnp.power((5.0 + (time + 1).astype(jnp.float32)) / 6.0,
                             alpha)
         cand_scores = (bs.alive_log_probs.reshape(-1, 1) + cand_val
-                       - lse[:, None]) / penalty     # [B*K, 2K]
-        flat = cand_scores.reshape(batch, beam_size * 2 * beam_size)
+                       - lse[:, None]) / penalty     # [B*K, K']
+        flat = cand_scores.reshape(batch, beam_size * kprime)
         topk_scores, pos = jax.lax.top_k(flat, 2 * beam_size)
-        curr_beam = (pos // (2 * beam_size)).astype(jnp.int32)  # [B, 2K]
+        curr_beam = (pos // kprime).astype(jnp.int32)           # [B, 2K]
         curr_symbol = jnp.take_along_axis(
-            cand_idx.reshape(batch, beam_size * 2 * beam_size), pos,
+            cand_idx.reshape(batch, beam_size * kprime), pos,
             axis=1).astype(jnp.int32)                           # [B, 2K]
 
         # candidate sequences: reorder beams, write symbol at time+1

@@ -197,14 +197,19 @@ def train(params) -> bool:
     # of each consecutive group of nproc, and pads it to the group's max
     # shape -- a shared shape schedule with zero communication.
     # In-training eval/sampling run on the primary host alone when the
-    # parameters are fully replicated (no model-axis sharding); the dev
-    # score is broadcast so lr schedules and early stop stay in sync.
-    eval_on_primary = nproc > 1 and int(mesh.shape["model"]) == 1
-    if nproc > 1 and int(mesh.shape["model"]) > 1 \
+    # parameters are fully replicated (no sharding on ANY non-data axis:
+    # model/seq/pipe/expert sharding all leave params or the decode
+    # graph spanning non-addressable devices); the dev score is
+    # broadcast so lr schedules and early stop stay in sync.
+    param_axes = [a for a in mesh.axis_names if a != "data"]
+    params_sharded = any(int(mesh.shape[a]) > 1 for a in param_axes)
+    eval_on_primary = nproc > 1 and not params_sharded
+    if nproc > 1 and params_sharded \
             and (params.eval_freq > 0 or params.sample_freq > 0):
-        log.warning("multi-host with model parallelism: in-training "
-                    "eval/sampling disabled (params are not host-local); "
-                    "evaluate checkpoints with a single-host run")
+        log.warning("multi-host with model/seq/pipe/expert parallelism: "
+                    "in-training eval/sampling disabled (params are not "
+                    "host-local); evaluate checkpoints with a "
+                    "single-host run")
         params.eval_freq = 0
         params.sample_freq = 0
 
