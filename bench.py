@@ -174,7 +174,7 @@ def bench_train(cfg, rows, src_len, tgt_len, flops_per_step=None,
     return out
 
 
-def bench_decode(model_name, batch_rows=32, src_len=32):
+def bench_decode(model_name, batch_rows=32, src_len=32, cfg_overrides=None):
     """Beam-4 full-length decode sentences/sec (BASELINE.json north star)."""
     import jax
 
@@ -187,6 +187,8 @@ def bench_decode(model_name, batch_rows=32, src_len=32):
     cfg.beam_size = 4
     cfg.decode_length = 50
     cfg.decode_max_len = src_len + 50
+    for k, v in (cfg_overrides or {}).items():
+        setattr(cfg, k, v)
 
     from zero_tpu.models.base import get_model
 
@@ -291,6 +293,18 @@ def bench_moe():
     rows, L = 256, 128
     return bench_train(cfg, rows, L, L, vocab_hi=30000,
                        flops_per_step=moe_train_flops(cfg, rows, L, L))
+
+
+def _rela_config():
+    """transformer_rela at base geometry: same matmul budget as softmax
+    (relu weights + gated RMSNorm epilogue), so the transformer FLOPs
+    model holds and the published 0.93x train ratio is directly
+    comparable."""
+    from __graft_entry__ import _base_config
+
+    cfg = _base_config()
+    cfg.model_name = cfg.scope_name = "transformer_rela"
+    return cfg
 
 
 def rpr_train_flops(cfg, rows, src_len, tgt_len):
@@ -527,6 +541,38 @@ def main():
         # 8. MoE (Switch top-1, 8 experts): r3 expert-parallel extension,
         #    single-chip dispatch-overhead measurement
         run("transformer_moe_train", bench_moe)
+        # 9. ReLA train ratio vs softmax (reference publishes 0.93x,
+        #    docs/rela_sparse_attention/README.md:100)
+        run("transformer_rela_train",
+            lambda: bench_train(_rela_config(), rows=rows, src_len=L,
+                                tgt_len=L, vocab_hi=30000))
+        base_tps = details["configs"].get(
+            "transformer_base_train", {}).get("median_work_per_sec")
+        rela_tps = details["configs"].get(
+            "transformer_rela_train", {}).get("median_work_per_sec")
+        if base_tps and rela_tps:
+            details["configs"]["transformer_rela_train"][
+                "speed_vs_softmax"] = round(rela_tps / base_tps, 3)
+        # 10. L0Drop compacted decode speedup at a long-source shape
+        #     (reference publishes 1.20x char-MT / 1.65x doc-sum decode
+        #     speedups from dropping encoder outputs,
+        #     docs/l0drop/README.md:29-30). Static-k compaction at 50%
+        #     vs the uncompacted gated path isolates the mechanical win.
+        run("l0drop_decode_full_L128",
+            lambda: bench_decode("transformer_l0drop", batch_rows=32,
+                                 src_len=128,
+                                 cfg_overrides={"l0_compact_ratio": 0.0}))
+        run("l0drop_decode_compact50_L128",
+            lambda: bench_decode("transformer_l0drop", batch_rows=32,
+                                 src_len=128,
+                                 cfg_overrides={"l0_compact_ratio": 0.5}))
+        full = details["configs"].get(
+            "l0drop_decode_full_L128", {}).get("sentences_per_sec")
+        comp = details["configs"].get(
+            "l0drop_decode_compact50_L128", {}).get("sentences_per_sec")
+        if full and comp:
+            details["configs"]["l0drop_decode_compact50_L128"][
+                "speedup_vs_uncompacted"] = round(comp / full, 3)
 
     details["total_bench_s"] = round(time.perf_counter() - started, 1)
     with open("BENCH_DETAILS.json", "w") as f:
