@@ -68,6 +68,70 @@ def test_pipeline_matches_scan(microbatches, use_remat):
     assert max(jax.tree.leaves(errs)) < 1e-6
 
 
+@pytest.mark.parametrize("model_name", ["transformer", "transformer_fuse",
+                                        "transformer_aan",
+                                        "transformer_l0drop"])
+def test_pipeline_with_seq_matches_scan(model_name):
+    """SP inside PP: the combined {'pipe','seq'} manual region (ring
+    self-attention / seq-parallel AAN prefix mean on seq-local blocks)
+    must reproduce the plain stacked scan's loss and grads exactly
+    (dropout off). Covers ring-capable self-attention (transformer),
+    the merged-attention AAN epilogue (fuse), the AAN block (aan), and
+    post_encode composition (l0drop)."""
+    cfg = _cfg(mesh_data=2, mesh_model=1, mesh_pipe=2, mesh_seq=2,
+               model_name=model_name, scope_name=model_name)
+    model = get_model(model_name)
+    params = model.init_fn(jax.random.PRNGKey(0), cfg)
+    feats = {k: jnp.asarray(v)
+             for k, v in toy_batch(batch=4, src_len=8, tgt_len=8).items()}
+    rng = jax.random.PRNGKey(1)
+
+    dense_loss, dense_g = _loss_and_grads(model, params, feats, cfg, rng)
+    mesh = _mesh(cfg)
+    ring.set_active_mesh(mesh)
+    try:
+        assert pipe_mod.pipe_degree() == 2 and ring.seq_degree() == 2
+        pp_loss, pp_g = _loss_and_grads(model, params, feats, cfg, rng)
+    finally:
+        ring.set_active_mesh(None)
+
+    np.testing.assert_allclose(pp_loss, dense_loss, atol=2e-6, rtol=2e-6)
+    errs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                        pp_g, dense_g)
+    assert max(jax.tree.leaves(errs)) < 5e-6
+
+
+def test_pipeline_with_seq_bf16_compiles():
+    """bf16-compute SP-in-PP smoke: a bf16 leaf left seq-INVARIANT gets
+    its cotangent psum'ed over 'seq' in bf16 at the checkpoint/scan
+    transpose boundary, which crashes XLA CPU's AllReducePromotion pass
+    outright ("Invalid binary instruction opcode copy", jaxlib 0.9.0) —
+    pipe.py therefore pcasts params/consts to seq-varying on the fp32
+    side (_vary_seq). A compile+run in the dryrun's bf16 configuration
+    pins that: the failure mode is a process abort, not a wrong value."""
+    cfg = _cfg(mesh_data=2, mesh_model=1, mesh_pipe=2, mesh_seq=2,
+               use_remat=True, default_dtype="bfloat16")
+    model = get_model("transformer")
+    params = model.init_fn(jax.random.PRNGKey(0), cfg)
+    feats = {k: jnp.asarray(v)
+             for k, v in toy_batch(batch=4, src_len=8, tgt_len=8).items()}
+    rng = jax.random.PRNGKey(1)
+    mesh = _mesh(cfg)
+    ring.set_active_mesh(mesh)
+    try:
+        assert pipe_mod.pipe_degree() == 2 and ring.seq_degree() == 2
+        # jit is required here (remat's closed_call cannot evaluate
+        # eagerly inside shard_map) and matches how the train step
+        # actually runs
+        loss, grads = jax.jit(jax.value_and_grad(
+            lambda p: model.train_fn(p, feats, cfg, rng,
+                                     step=0)["loss"]))(params)
+    finally:
+        ring.set_active_mesh(None)
+    assert np.isfinite(loss)
+    assert all(np.all(np.isfinite(g)) for g in jax.tree.leaves(grads))
+
+
 def test_pipeline_dropout_on_trains():
     """Dropout-on PP: masks differ from the dense run by design (per-
     microbatch keys); the loss must stay finite and the grads nonzero."""

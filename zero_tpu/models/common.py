@@ -65,6 +65,13 @@ class LayerHooks(NamedTuple):
     enc_post: Optional[Callable] = None       # (p, x) -> x
     init_dec_post: Optional[Callable] = None  # (key, cfg) -> params
     dec_post: Optional[Callable] = None       # (p, x) -> x
+    # SP-inside-PP capability: True when every attention in this stack's
+    # layer body is ring-capable (routes through the manual ring body --
+    # or attends over replicated memory -- inside the combined
+    # {'pipe','seq'} manual region, parallel/pipe.py). A stack flagged
+    # False keeps the dense fallback when both axes are active.
+    seq_in_pipe_enc: bool = False
+    seq_in_pipe_dec: bool = False
 
 
 def config_initializer(cfg):
@@ -312,19 +319,21 @@ def make_transformer(hooks: LayerHooks, zero_softmax: bool = False,
                 for l in range(num_layers)]
 
     def _apply_stack(layer_fn, x, stacked_params, keys, use_remat,
-                     num_layers, cfg, consts):
+                     num_layers, cfg, consts, seq_in_pipe=False):
         """Stacked-layer application: pipeline-parallel over the 'pipe'
         mesh axis when active and divisible, plain lax.scan otherwise.
 
         layer_fn(p_l, h, rngs, consts) with ``consts`` a pytree of
         layer-invariant tensors; under PP, batch-leading const leaves are
-        sliced to the current microbatch's rows (parallel/pipe.py)."""
+        sliced to the current microbatch's rows (parallel/pipe.py).
+        seq_in_pipe carries the hooks' declared SP-in-PP capability."""
         from zero_tpu.parallel import pipe as pipe_mod
         mb = int(getattr(cfg, "pp_microbatches", 0))
         if pipe_mod.pipe_eligible(num_layers, x.shape[0], mb):
             return pipe_mod.pipeline_stack(
                 layer_fn, x, stacked_params, keys, consts,
-                microbatches=mb, use_remat=use_remat)
+                microbatches=mb, use_remat=use_remat,
+                seq_in_pipe=seq_in_pipe)
         return _scan_stack(lambda p_l, h, r: layer_fn(p_l, h, r, consts),
                            x, stacked_params, keys, use_remat)
 
@@ -344,7 +353,8 @@ def make_transformer(hooks: LayerHooks, zero_softmax: bool = False,
                 lambda p_l, h, r, c: hooks.enc_layer(p_l, h, c["src_keep"],
                                                      cfg, r),
                 x, params["encoder"], keys, _use_remat(cfg, training),
-                cfg.num_encoder_layer, cfg, {"src_keep": src_keep})
+                cfg.num_encoder_layer, cfg, {"src_keep": src_keep},
+                seq_in_pipe=hooks.seq_in_pipe_enc)
         else:
             for p in params["encoder"]:
                 if _use_remat(cfg, training):
@@ -382,7 +392,8 @@ def make_transformer(hooks: LayerHooks, zero_softmax: bool = False,
                 x, params["decoder"], keys, _use_remat(cfg, training),
                 cfg.num_decoder_layer, cfg,
                 {"state": state, "self_keep": self_keep,
-                 "mem_keep": mem_keep, "mask": mask})
+                 "mem_keep": mem_keep, "mask": mask},
+                seq_in_pipe=hooks.seq_in_pipe_dec)
         else:
             for p in params["decoder"]:
                 if _use_remat(cfg, training):

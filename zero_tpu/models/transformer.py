@@ -113,6 +113,11 @@ HOOKS = common.LayerHooks(
     dec_layer_precompute=dec_layer_precompute,
     init_dec_layer_cache=init_dec_layer_cache,
     dec_layer_step=dec_layer_step,
+    # both stacks are ring-capable (self-attention decomposes into
+    # causal flag + key-side pad mask; cross-attention reads replicated
+    # memory), so SP nests inside PP via the combined manual region
+    seq_in_pipe_enc=True,
+    seq_in_pipe_dec=True,
 )
 
 init_fn, train_fn, score_fn, infer_fn = common.make_transformer(HOOKS)

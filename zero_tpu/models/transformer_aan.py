@@ -47,7 +47,14 @@ def _gate(p, x, y):
 
 
 def _aan_block_train(p, x, tgt_mask, cfg, rngs):
-    if cfg.aan_mask:
+    from zero_tpu.parallel import ring
+    if ring.in_manual_seq():
+        # seq-manual pipeline region: x is a [B, L/n, d] local block and
+        # tgt_mask the full [B, L] mask -- the cumulative average runs
+        # as a seq-parallel prefix mean
+        x_fwd = ring.seq_cummean_manual(x, tgt_mask,
+                                        masked=bool(cfg.aan_mask))
+    elif cfg.aan_mask:
         w = nn.aan_weight(tgt_mask.astype(jnp.float32), dtype=x.dtype)
         x_fwd = jnp.einsum("bqk,bkd->bqd", w, x)
     else:
@@ -106,6 +113,10 @@ HOOKS = common.LayerHooks(
     dec_layer_precompute=base.dec_layer_precompute,
     init_dec_layer_cache=init_dec_layer_cache,
     dec_layer_step=dec_layer_step,
+    # encoder = base (ring); the AAN block rides the seq-parallel prefix
+    # mean and cross-attention reads replicated memory
+    seq_in_pipe_enc=True,
+    seq_in_pipe_dec=True,
 )
 
 init_fn, train_fn, score_fn, infer_fn = common.make_transformer(HOOKS)

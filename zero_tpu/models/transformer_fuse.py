@@ -33,11 +33,13 @@ def init_dec_layer(key, cfg, layer):
 
 
 def dec_layer_train(p, x, state, self_keep, mem_keep, cfg, rngs, tgt_mask):
-    fuse_w = nn.aan_weight(tgt_mask.astype(jnp.float32), dtype=x.dtype)
+    # pass the raw mask: attn_train builds the [B, Lq, Lq] averaging
+    # matrix itself, or runs a seq-parallel prefix mean inside the
+    # {'pipe','seq'} manual region where x is a local block
     y = attention.attn_train(p["fuse"], x, state["encodes"], mem_keep,
                              cfg.num_heads, rng=rngs(),
                              drop=cfg.attention_dropout,
-                             fuse_weight=fuse_w)["output"]
+                             fuse_mask=tgt_mask)["output"]
     x = nn.layer_norm(p["ln1"],
                       nn.residual_fn(x, y, rngs(), cfg.residual_dropout))
     y = nn.ffn(p["ffn"], x, rngs(), cfg.relu_dropout)
@@ -72,6 +74,11 @@ HOOKS = common.LayerHooks(
     dec_layer_precompute=dec_layer_precompute,
     init_dec_layer_cache=init_dec_layer_cache,
     dec_layer_step=dec_layer_step,
+    # encoder = base layers (ring-capable); the decoder's merged
+    # attention rides the seq-parallel AAN prefix mean (ops/attention.py
+    # manual-seq fuse path)
+    seq_in_pipe_enc=True,
+    seq_in_pipe_dec=True,
 )
 
 init_fn, train_fn, score_fn, infer_fn = common.make_transformer(HOOKS)

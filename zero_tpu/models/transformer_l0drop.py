@@ -125,6 +125,10 @@ HOOKS = common.LayerHooks(
     init_dec_layer_cache=base.init_dec_layer_cache,
     dec_layer_step=base.dec_layer_step,
     post_encode=post_encode,
+    # base layers throughout (post_encode runs after the stack): both
+    # stacks ride the ring inside the combined {'pipe','seq'} region
+    seq_in_pipe_enc=True,
+    seq_in_pipe_dec=True,
 )
 
 init_fn, train_fn, score_fn, infer_fn = common.make_transformer(

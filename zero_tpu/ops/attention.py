@@ -184,7 +184,7 @@ def gated_rms_norm(params, x, eps: float = 1e-8):
 # ---------------------------------------------------------------------------
 
 def attn_train(params, query, memory, keep_mask, num_heads, *,
-               rng=None, drop=None, fuse_weight=None,
+               rng=None, drop=None, fuse_weight=None, fuse_mask=None,
                rpr_tables=None, max_relative_position=None,
                relu=False, use_flash=False, causal=False, pad_mask=None,
                count_weights=None):
@@ -194,6 +194,10 @@ def attn_train(params, query, memory, keep_mask, num_heads, *,
     keep_mask: [B or 1, 1, Lq, Lk] 1/0; caller combines causal+padding.
     fuse_weight: AAN [B, Lq, Lq] averaging matrix; adds the averaged
     query-side values through the shared 'v' projection (func.py:258-266).
+    fuse_mask: alternative to fuse_weight -- the raw [B, Lq] target pad
+    mask; the averaging matrix is built here, or, inside the seq-manual
+    pipeline region, the average runs as a seq-parallel prefix mean
+    (parallel/ring.py:seq_cummean_manual) where query is a local block.
 
     use_flash + (causal, pad_mask): route the softmax path through the
     fused Pallas kernel when the semantic mask decomposes into a causal
@@ -215,9 +219,31 @@ def attn_train(params, query, memory, keep_mask, num_heads, *,
     # flash route: the semantic mask must decompose into a causal flag +
     # key-side pad mask, declared by the caller passing causal/pad_mask.
     from zero_tpu.parallel import ring as ring_mod
-    ring_ok = (memory is None and not relu and rpr_tables is None
-               and count_weights is None and fuse_weight is None
-               and (causal or pad_mask is not None)
+    ring_clean = (memory is None and not relu and rpr_tables is None
+                  and count_weights is None and fuse_weight is None
+                  and fuse_mask is None
+                  and (causal or pad_mask is not None))
+    if ring_mod.in_manual_seq() and memory is None:
+        # Inside the combined {'pipe','seq'} manual region the activations
+        # are seq-LOCAL blocks: self-attention MUST run the ring body (a
+        # dense fallback would attend only within the local block, which
+        # is silently wrong math). The pipeline gates entry on the hooks'
+        # declared capability, so failing here means a wiring bug.
+        if not ring_clean:
+            raise ValueError(
+                "self-attention variant is not ring-capable inside the "
+                "seq-manual pipeline region; the model's LayerHooks must "
+                "not declare seq_in_pipe for this stack")
+        qh = split_heads(q, num_heads)
+        kh = split_heads(k, num_heads)
+        vh = split_heads(v, num_heads)
+        o = ring_mod.ring_self_attention_manual(
+            qh, kh, vh, pad_mask, causal=causal, rng=rng, drop=drop)
+        o = combine_heads(o.astype(q.dtype))
+        if "o" in params:
+            o = nn.linear(params["o"], o)
+        return {"output": o, "weights": None}
+    ring_ok = (ring_clean
                and ring_mod.ring_route_ok(q.shape[0], num_heads,
                                           q.shape[1], k.shape[1]))
     if ring_ok:
@@ -263,9 +289,16 @@ def attn_train(params, query, memory, keep_mask, num_heads, *,
     if relu and "post" in params:
         o = gated_rms_norm(params["post"], o)
 
-    if fuse_weight is not None:
+    if fuse_weight is not None or fuse_mask is not None:
         v_q = nn.linear(params["v"], query)
-        aan_o = jnp.einsum("bqk,bkd->bqd", fuse_weight.astype(v_q.dtype), v_q)
+        if fuse_mask is not None and ring_mod.in_manual_seq():
+            aan_o = ring_mod.seq_cummean_manual(v_q, fuse_mask, masked=True)
+        else:
+            if fuse_weight is None:
+                fuse_weight = nn.aan_weight(fuse_mask.astype(jnp.float32),
+                                            dtype=v_q.dtype)
+            aan_o = jnp.einsum("bqk,bkd->bqd", fuse_weight.astype(v_q.dtype),
+                               v_q)
         o = o + aan_o
 
     if "o" in params:

@@ -60,7 +60,8 @@ def _fold_keys(keys_l, mb_idx):
 
 
 def pipeline_stack(layer_fn, x, stacked_params, keys, consts=None, *,
-                   microbatches=0, use_remat=False, mesh=None, axis="pipe"):
+                   microbatches=0, use_remat=False, mesh=None, axis="pipe",
+                   seq_in_pipe=False):
     """Run ``layer_fn`` over a pipe-sharded layer stack; semantically the
     stacked lax.scan of models/common.py:_scan_stack.
 
@@ -72,6 +73,16 @@ def pipeline_stack(layer_fn, x, stacked_params, keys, consts=None, *,
     sliced to the current microbatch's rows, other leaves pass through
     whole. Non-'pipe' mesh axes are left to GSPMD (shard_map
     axis_names), so callers do not re-spec data/model/seq sharding here.
+
+    seq_in_pipe=True (callers pass the model hooks' declared capability):
+    when the mesh also has a 'seq' axis that divides x's sequence dim,
+    the region goes manual over BOTH {'pipe','seq'} -- a nested
+    shard_map over 'seq' inside the pipe region is rejected by shardy,
+    but one region manual over both axes is legal. x enters sliced
+    [B, S/n, ...]; consts stay replicated (the ring route slices its own
+    key-side mask block by axis_index, parallel/ring.py
+    ring_self_attention_manual), and attention inside the layer body
+    routes through the ring BODY directly (ops/attention.py).
     """
     mesh = mesh if mesh is not None else ring.active_mesh()
     n_stage = int(mesh.shape.get(axis, 1))
@@ -79,6 +90,10 @@ def pipeline_stack(layer_fn, x, stacked_params, keys, consts=None, *,
     batch = x.shape[0]
     mb_rows = batch // n_mb
     assert batch % n_mb == 0, (batch, n_mb)
+    n_seq = int(mesh.shape.get("seq", 1))
+    use_seq = (seq_in_pipe and n_seq > 1 and x.ndim >= 2
+               and x.shape[1] % n_seq == 0)
+    manual_axes = {axis} | ({"seq"} if use_seq else set())
 
     def inner(p_l, h, keys_l, consts_mb):
         if keys_l is None:
@@ -106,6 +121,15 @@ def pipeline_stack(layer_fn, x, stacked_params, keys, consts=None, *,
     x_dtype = x.dtype
     const_dtypes = jax.tree.map(lambda c: c.dtype if hasattr(c, "dtype")
                                 else None, consts)
+    # with 'seq' also manual, the P('pipe') params are REPLICATED w.r.t.
+    # 'seq', so their cotangent is a psum over 'seq' -- and the compute
+    # params are bf16 (models/common.py cast_to_compute), which hits the
+    # same AllReducePromotion crash. Widen them across the boundary too
+    # (PP-only keeps the direct path: params are fully sharded on the
+    # lone manual axis there, no psum).
+    param_dtypes = jax.tree.map(lambda c: c.dtype if hasattr(c, "dtype")
+                                else None, stacked_params) \
+        if use_seq else None
 
     def _widen(t):
         return jax.tree.map(
@@ -116,7 +140,20 @@ def pipeline_stack(layer_fn, x, stacked_params, keys, consts=None, *,
         return jax.tree.map(
             lambda c, d: c.astype(d) if d is not None else c, t, dtypes)
 
+    def _vary_seq(t):
+        # mark leaves varying over 'seq' while STILL fp32: a bf16 leaf
+        # that stays seq-invariant gets its cotangent psum_invariant'ed
+        # over 'seq' in bf16 at the checkpoint/scan transpose boundary
+        # (the AllReducePromotion crash again); pcast-ing the fp32 side
+        # moves that psum to fp32. Free at runtime (type info only).
+        return jax.tree.map(
+            lambda c: jax.lax.pcast(c, ("seq",), to="varying"), t)
+
     def local(params_loc, keys_loc, xg, consts):
+        if param_dtypes is not None:
+            params_loc = _narrow(_vary_seq(params_loc), param_dtypes)
+            if keys_loc is not None:
+                keys_loc = _vary_seq(keys_loc)
         stage = jax.lax.axis_index(axis)
         mb_shape = (n_mb, mb_rows) + xg.shape[1:]
         # the pipeline plumbing (xs / rotating buf / banked out and their
@@ -127,7 +164,10 @@ def pipeline_stack(layer_fn, x, stacked_params, keys, consts=None, *,
         xs = xg.reshape(mb_shape)
 
         def stage_layers(h, mb_idx):
-            consts_mb = _narrow(_slice_consts(consts, mb_idx), const_dtypes)
+            consts_mb = _slice_consts(consts, mb_idx)
+            if param_dtypes is not None:
+                consts_mb = _vary_seq(consts_mb)
+            consts_mb = _narrow(consts_mb, const_dtypes)
             h = h.astype(x_dtype)
             if keys_loc is None:
                 def sb(carry, p_l):
@@ -165,11 +205,16 @@ def pipeline_stack(layer_fn, x, stacked_params, keys, consts=None, *,
                 buf = h
             return buf, out
 
-        # the carries VARY across pipe members while the zero inits are
+        # the carries VARY across pipe members (and seq members when the
+        # region is manual over 'seq' too) while the zero inits are
         # invariant: pcast marks them varying so the loop types line up
-        out0 = jax.lax.pcast(jnp.zeros(mb_shape, xg.dtype), (axis,),
+        vaxes = tuple(sorted(manual_axes))
+        # fresh zeros (not zeros_like): the inits must start fully
+        # invariant so one pcast covers every manual axis
+        out0 = jax.lax.pcast(jnp.zeros(mb_shape, xg.dtype), vaxes,
                              to="varying")
-        buf0 = jax.lax.pcast(jnp.zeros_like(xs[0]), (axis,), to="varying")
+        buf0 = jax.lax.pcast(jnp.zeros(xs.shape[1:], xs.dtype), vaxes,
+                             to="varying")
         _, out = jax.lax.fori_loop(0, n_mb + n_stage - 1, round_body,
                                    (buf0, out0))
         # all stages must agree for the replicated-out spec: only the
@@ -187,13 +232,22 @@ def pipeline_stack(layer_fn, x, stacked_params, keys, consts=None, *,
     pspec = jax.tree.map(lambda _: P(axis), stacked_params)
     kspec = None if keys is None else jax.tree.map(lambda _: P(axis), keys)
     cspec = jax.tree.map(lambda _: P(), consts)
+    # x enters sliced over 'seq' (dim 1) when the region is manual over
+    # 'seq'; otherwise replicated w.r.t. 'pipe' with GSPMD managing the
+    # auto axes as before
+    xspec = P(None, "seq") if use_seq else P()
     # NOTE: check_vma must stay at its default -- check_vma=False makes
     # shard_map treat P() as referring to every mesh axis, breaking the
     # partial-manual (axis_names={'pipe'}) mode (measured jax 0.9.0)
     f = jax.shard_map(
-        local, mesh=mesh, axis_names={axis},
-        in_specs=(pspec, kspec, P(), cspec),
-        out_specs=P())
-    return f(stacked_params, keys, _widen(x), _widen(consts)).astype(x_dtype)
+        local, mesh=mesh, axis_names=manual_axes,
+        in_specs=(pspec, kspec, xspec, cspec),
+        out_specs=xspec)
+    if use_seq:
+        with ring.manual_seq_region():
+            out = f(_widen(stacked_params), keys, _widen(x), _widen(consts))
+    else:
+        out = f(stacked_params, keys, _widen(x), _widen(consts))
+    return out.astype(x_dtype)
 
 

@@ -32,6 +32,7 @@ dropout-off path is what the equivalence tests pin down.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Optional
 
@@ -66,6 +67,31 @@ def seq_degree() -> int:
     """Size of the 'seq' axis of the active mesh (1 = SP off)."""
     m = _ACTIVE_MESH
     return int(m.shape.get("seq", 1)) if m is not None else 1
+
+
+# SP-inside-PP: a nested shard_map over 'seq' inside the 'pipe' manual
+# region is rejected by the shardy lowering, but ONE region manual over
+# BOTH axes is legal -- the pipeline (parallel/pipe.py) opens such a
+# region and flags it here at trace time, and attention routes to the
+# ring BODY directly (no nested shard_map). Trace-time python state is
+# safe: shard_map traces its callee exactly once.
+_MANUAL_SEQ = False
+
+
+@contextlib.contextmanager
+def manual_seq_region():
+    """Mark that tracing is inside a manual region that includes 'seq'."""
+    global _MANUAL_SEQ
+    prev = _MANUAL_SEQ
+    _MANUAL_SEQ = True
+    try:
+        yield
+    finally:
+        _MANUAL_SEQ = prev
+
+
+def in_manual_seq() -> bool:
+    return _MANUAL_SEQ
 
 
 def ring_supported(lq: int, lk: int) -> bool:
@@ -158,6 +184,72 @@ def _ring_body(qh, kh, vh, kv_keep, rng, *, n, axis_name, causal, drop):
         step, (m, l, acc, kh, vh, kv_keep), jnp.arange(n))
     out = acc / jnp.maximum(l[..., None], 1e-30)
     return out.astype(qh.dtype)
+
+
+def ring_self_attention_manual(qh, kh, vh, kv_keep_global=None, *,
+                               causal=False, rng=None, drop=None):
+    """Ring self-attention INSIDE an ambient manual region over 'seq'
+    (the combined {'pipe','seq'} region of parallel/pipe.py).
+
+    qh/kh/vh: LOCAL [B, H, S/n, dh] blocks (the caller's activations are
+    already seq-sharded by the enclosing shard_map); kv_keep_global: the
+    FULL [B, S] key-side pad mask (consts enter the region replicated) --
+    this member's block is sliced out here -- or None. Same math as
+    ring_self_attention; no nested shard_map."""
+    n = seq_degree()
+    drop = float(drop) if (drop and rng is not None) else 0.0
+    lk = kh.shape[2]
+    if kv_keep_global is None:
+        # mark varying over 'seq': the ring ppermutes this block around
+        keep = jax.lax.pcast(jnp.ones((qh.shape[0], lk), jnp.float32),
+                             ("seq",), to="varying")
+    else:
+        me = jax.lax.axis_index("seq")
+        keep = jax.lax.dynamic_slice_in_dim(
+            kv_keep_global.astype(jnp.float32), me * lk, lk, axis=1)
+    if not drop:
+        rng = jax.random.PRNGKey(0)  # unused placeholder
+    return _ring_body(qh, kh, vh, keep, rng, n=n, axis_name="seq",
+                      causal=causal, drop=drop)
+
+
+def _exclusive_shard_prefix(total):
+    """Sum of ``total`` over all 'seq' members strictly before this one.
+
+    total: this member's local reduction [B, ...]; the gather moves
+    n*B*D elements (shard totals only, not sequences) over ICI."""
+    n = seq_degree()
+    me = jax.lax.axis_index("seq")
+    allt = jax.lax.all_gather(total, "seq")               # [n, B, ...]
+    w = (jnp.arange(n) < me).astype(allt.dtype)           # exclusive
+    return jnp.einsum("s,s...->...", w, allt)
+
+
+def seq_cummean_manual(x_loc, mask_global, *, masked=True):
+    """Cumulative (masked) mean over the GLOBAL sequence, seq-parallel.
+
+    Inside a manual region over 'seq': x_loc [B, L/n, D] is this
+    member's block; mask_global [B, L] the full target pad mask (consts
+    enter replicated). Per global position g:
+      masked=True  (AAN aan_mask, nn.aan_weight semantics):
+        m_g * (sum_{j<=g} m_j x_j) / max(sum_{j<=g} m_j, 1)
+      masked=False (AAN cumsum mode):
+        (sum_{j<=g} x_j) / max(sum_{j<=g} m_j, 1)
+    Local cumsums + one all-gather of shard totals give the exact
+    global prefix; fp32 accumulation."""
+    l = x_loc.shape[1]
+    me = jax.lax.axis_index("seq")
+    m_loc = jax.lax.dynamic_slice_in_dim(
+        mask_global.astype(jnp.float32), me * l, l, axis=1)  # [B, L/n]
+    xf = x_loc.astype(jnp.float32)
+    num_loc = jnp.cumsum(xf * m_loc[..., None] if masked else xf, axis=1)
+    cnt_loc = jnp.cumsum(m_loc, axis=1)
+    num = num_loc + _exclusive_shard_prefix(num_loc[:, -1])[:, None]
+    cnt = cnt_loc + _exclusive_shard_prefix(cnt_loc[:, -1])[:, None]
+    out = num / jnp.maximum(cnt, 1.0)[..., None]
+    if masked:
+        out = out * m_loc[..., None]
+    return out.astype(x_loc.dtype)
 
 
 def ring_self_attention(qh, kh, vh, kv_keep=None, *, causal=False,
