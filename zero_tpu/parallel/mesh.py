@@ -202,6 +202,36 @@ def param_sharding(params, mesh: Mesh, warn_unsharded: bool = True):
     return jax.tree_util.tree_map_with_path(mk, params)
 
 
+def zero1_sharding(params, mesh: Mesh, base_shardings):
+    """ZeRO-1 layout for a param-SHAPED state tree (Adam mu/nu, EMA):
+    each leaf's base (TP/PP) spec gains 'data' on the first still-free
+    dim divisible by the data degree, so per-param optimizer state is
+    stored 1/data_par per chip instead of replicated. GSPMD derives the
+    ZeRO-1 collectives from the layout alone: grads reduce to the
+    sharded moments, the Adam math runs sharded, and the weight delta
+    is all-gathered back to the replicated params (Rajbhandari et al.
+    2020 semantics; no reference counterpart -- utils/cycle.py keeps
+    full slot variables per device).
+
+    Leaves with no divisible free dim stay on their base sharding."""
+    data_par = int(mesh.shape.get("data", 1))
+
+    def mk(leaf, base):
+        if data_par <= 1 or not hasattr(leaf, "shape") or leaf.ndim == 0:
+            return base
+        spec = list(base.spec) + [None] * (leaf.ndim - len(base.spec))
+        for d in range(leaf.ndim):
+            # a dim carrying a size-1 mesh axis (e.g. 'model' with TP
+            # off) is layout-free: substituting 'data' there is the
+            # identical layout with the moment shard added
+            free = spec[d] is None or int(mesh.shape.get(spec[d], 1)) == 1
+            if free and leaf.shape[d] % data_par == 0:
+                spec[d] = "data"
+                return NamedSharding(mesh, P(*spec))
+        return base
+    return jax.tree.map(mk, params, base_shardings)
+
+
 def batch_sharding(batch, mesh: Mesh, batch_axis: int = 0):
     """Shard the batch dimension over the 'data' mesh axis.
 

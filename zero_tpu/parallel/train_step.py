@@ -46,17 +46,27 @@ def init_train_state(model, cfg, rng, mesh=None) -> TrainState:
                        step=jnp.zeros((), jnp.int32))
     if mesh is not None:
         pspec = mesh_lib.param_sharding(params, mesh)
+        mspec = _moment_sharding(params, pspec, mesh, cfg)
         state = TrainState(
             params=jax.device_put(params, pspec),
             opt_state=jax.device_put(opt_state,
-                                     _opt_sharding(opt_state, pspec, mesh)),
+                                     _opt_sharding(opt_state, mspec, mesh)),
             ema=jax.device_put(ema, pspec) if ema is not None else None,
             step=jax.device_put(state.step, mesh_lib.replicated(mesh)))
     return state
 
 
-def _opt_sharding(opt_state, param_sharding_tree, mesh):
-    """Adam m/v mirror the param shardings; scalars replicated."""
+def _moment_sharding(params, param_sharding_tree, mesh, cfg):
+    """Sharding tree for param-shaped optimizer moments: the param
+    shardings, plus ZeRO-1 sharding over 'data' when zero_stage >= 1
+    (mesh.py:zero1_sharding)."""
+    if int(getattr(cfg, "zero_stage", 0)) >= 1:
+        return mesh_lib.zero1_sharding(params, mesh, param_sharding_tree)
+    return param_sharding_tree
+
+
+def _opt_sharding(opt_state, moment_sharding_tree, mesh):
+    """Adam m/v mirror the moment shardings; scalars replicated."""
     def mk(leaf):
         return mesh_lib.replicated(mesh)
     # ScaleByAdamState(count, mu, nu): mu/nu are param-shaped trees
@@ -64,8 +74,8 @@ def _opt_sharding(opt_state, param_sharding_tree, mesh):
     if isinstance(state, optax.ScaleByAdamState):
         return optax.ScaleByAdamState(
             count=mesh_lib.replicated(mesh),
-            mu=param_sharding_tree,
-            nu=param_sharding_tree)
+            mu=moment_sharding_tree,
+            nu=moment_sharding_tree)
     return jax.tree.map(mk, state)
 
 
@@ -98,6 +108,8 @@ def make_train_step(model, cfg, mesh=None, donate: bool = True):
     ema_decay = float(cfg.ema_decay)
     safe_nan = bool(cfg.safe_nan)
     gnorm_bound = float(cfg.gnorm_upper_bound)
+    zero1 = mesh is not None and int(getattr(cfg, "zero_stage", 0)) >= 1 \
+        and int(mesh.shape.get("data", 1)) > 1
 
     robt_on = bool(getattr(cfg, "robt", False))
     if robt_on:
@@ -146,6 +158,19 @@ def make_train_step(model, cfg, mesh=None, donate: bool = True):
             grads = jax.tree.map(lambda g: g * scale, grads)
 
         updates, new_opt_state = tx.update(grads, state.opt_state, params)
+        if zero1 and isinstance(new_opt_state, optax.ScaleByAdamState):
+            # pin the ZeRO-1 moment layout through the step: without the
+            # constraint GSPMD may re-replicate mu/nu, silently undoing
+            # the memory saving. The Adam elementwise math then runs
+            # sharded and the weight delta is all-gathered at the param
+            # update below -- exactly the ZeRO-1 schedule.
+            pspec = mesh_lib.param_sharding(params, mesh,
+                                            warn_unsharded=False)
+            mspec = mesh_lib.zero1_sharding(params, mesh, pspec)
+            new_opt_state = optax.ScaleByAdamState(
+                count=new_opt_state.count,
+                mu=jax.lax.with_sharding_constraint(new_opt_state.mu, mspec),
+                nu=jax.lax.with_sharding_constraint(new_opt_state.nu, mspec))
         new_params = jax.tree.map(
             lambda p, u: (p - lr * u.astype(p.dtype)), params, updates)
 

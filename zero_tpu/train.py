@@ -234,18 +234,30 @@ def train(params) -> bool:
                   best_checkpoints=params.best_checkpoints,
                   async_save=bool(getattr(params, "async_checkpoint", False)))
 
-    # warm start from a pretrained model, then own dir (main.py:222-226)
+    # warm start from a pretrained model, then own dir (main.py:222-226).
+    # Restored leaves are host numpy; put them back on the INITIAL
+    # state's shardings explicitly (TP/pipe param layout, ZeRO-1 moment
+    # layout) rather than letting jit re-place uncommitted arrays.
+    def _reshard_like(tree, like):
+        if tree is None:
+            return None
+        return jax.tree.map(
+            lambda a, l: jax.device_put(a, l.sharding)
+            if hasattr(l, "sharding") else a, tree, like)
+
+    def _adopt(state, restored):
+        return state._replace(
+            params=_reshard_like(restored["params"], state.params),
+            opt_state=_reshard_like(restored["opt"], state.opt_state),
+            ema=_reshard_like(restored["ema"], state.ema))
+
     templates = {"params": state.params, "opt": state.opt_state,
                  "ema": state.ema}
     if params.pretrained_model:
-        restored = saver.restore(templates, params.pretrained_model)
-        state = state._replace(params=restored["params"],
-                               opt_state=restored["opt"],
-                               ema=restored["ema"])
-    restored = saver.restore({"params": state.params, "opt": state.opt_state,
-                              "ema": state.ema})
-    state = state._replace(params=restored["params"],
-                           opt_state=restored["opt"], ema=restored["ema"])
+        state = _adopt(state, saver.restore(templates,
+                                            params.pretrained_model))
+    state = _adopt(state, saver.restore(
+        {"params": state.params, "opt": state.opt_state, "ema": state.ema}))
 
     recorder = params.recorder
     adapt_lr = lrs.get_lr(params)
