@@ -70,7 +70,9 @@ def test_pipeline_matches_scan(microbatches, use_remat):
 
 @pytest.mark.parametrize("model_name", ["transformer", "transformer_fuse",
                                         "transformer_aan",
-                                        "transformer_l0drop"])
+                                        "transformer_l0drop",
+                                        "transformer_rela",
+                                        "transformer_rpr"])
 def test_pipeline_with_seq_matches_scan(model_name):
     """SP inside PP: the combined {'pipe','seq'} manual region (ring
     self-attention / seq-parallel AAN prefix mean on seq-local blocks)

@@ -85,6 +85,103 @@ def test_ring_matches_dense_grads(causal):
         assert np.all(np.isfinite(np.asarray(a)))
 
 
+def _dense_rela_ref(qh, kh, vh, keep, causal):
+    """ReLA dense reference: multiply-mask + relu, NO normalisation
+    (ops/attention.py _attn_core relu branch)."""
+    q = qh.astype(jnp.float32) * (qh.shape[-1] ** -0.5)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, kh.astype(jnp.float32))
+    mult = jnp.ones((), jnp.float32)
+    if keep is not None:
+        mult = mult * keep[:, None, None, :]
+    if causal:
+        L = qh.shape[2]
+        mult = mult * jnp.tril(jnp.ones((L, L), jnp.float32))[None, None]
+    w = jax.nn.relu(logits * mult)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, vh.astype(jnp.float32)).astype(
+        qh.dtype)
+
+
+def _dense_rpr_ref(qh, kh, vh, keep, causal, tables, max_rel):
+    """Shaw-RPR dense reference (ops/rpr.py math, full [L, L] ids)."""
+    from zero_tpu.ops import rpr as rpr_mod
+    q = qh.astype(jnp.float32) * (qh.shape[-1] ** -0.5)
+    L = qh.shape[2]
+    ids = rpr_mod.relative_positions_matrix(L, L, max_rel)
+    r_k = jnp.take(tables["keys"].astype(jnp.float32), ids, axis=0)
+    r_v = jnp.take(tables["values"].astype(jnp.float32), ids, axis=0)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, kh.astype(jnp.float32))
+    logits = logits + jnp.einsum("bhqd,qkd->bhqk", q, r_k)
+    if keep is not None:
+        logits = jnp.where(keep[:, None, None, :] > 0, logits,
+                           jnp.float32(-1e9))
+    if causal:
+        tri = jnp.tril(jnp.ones((L, L), bool))
+        logits = jnp.where(tri[None, None], logits, jnp.float32(-1e9))
+    p = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p, vh.astype(jnp.float32))
+    o = o + jnp.einsum("bhqk,qkd->bhqd", p, r_v)
+    return o.astype(qh.dtype)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_rela_matches_dense(causal):
+    """ReLA mode: relu block sums around the ring == dense multiply-
+    masked relu attention, fwd + grads (incl. the all-pad row)."""
+    mesh = _mesh(2, 1, 4)
+    qh, kh, vh, keep = _qkv()
+    ring_f = lambda q, k, v: ring.ring_self_attention(
+        q, k, v, keep, causal=causal, relu=True, mesh=mesh)
+    dense_f = lambda q, k, v: _dense_rela_ref(q, k, v, keep, causal)
+    out = jax.jit(ring_f)(qh, kh, vh)
+    ref = dense_f(qh, kh, vh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=2e-5)
+    loss = lambda f: (lambda q, k, v: jnp.sum(jnp.sin(f(q, k, v))))
+    gr = jax.jit(jax.grad(loss(ring_f), argnums=(0, 1, 2)))(qh, kh, vh)
+    gd = jax.jit(jax.grad(loss(dense_f), argnums=(0, 1, 2)))(qh, kh, vh)
+    for a, b in zip(gr, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2e-5)
+        assert np.all(np.isfinite(np.asarray(a)))
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_rpr_matches_dense(causal):
+    """RPR mode: block-local relative distances from GLOBAL positions ==
+    the dense full-matrix ids; fwd + grads incl. the tables' grads
+    (psum over 'seq' at the shard_map boundary)."""
+    mesh = _mesh(2, 1, 4)
+    qh, kh, vh, keep = _qkv()
+    max_rel = 4
+    rs = np.random.RandomState(7)
+    tables = {
+        "keys": jnp.asarray(
+            rs.randn(2 * max_rel + 1, qh.shape[-1]).astype(np.float32)),
+        "values": jnp.asarray(
+            rs.randn(2 * max_rel + 1, qh.shape[-1]).astype(np.float32)),
+    }
+    ring_f = lambda q, k, v, t: ring.ring_self_attention(
+        q, k, v, keep, causal=causal, rpr_tables=t, max_rel=max_rel,
+        mesh=mesh)
+    dense_f = lambda q, k, v, t: _dense_rpr_ref(q, k, v, keep, causal,
+                                                t, max_rel)
+    out = jax.jit(ring_f)(qh, kh, vh, tables)
+    ref = dense_f(qh, kh, vh, tables)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=2e-6)
+    loss = lambda f: (lambda q, k, v, t: jnp.sum(jnp.sin(f(q, k, v, t))))
+    gr = jax.jit(jax.grad(loss(ring_f), argnums=(0, 1, 2, 3)))(
+        qh, kh, vh, tables)
+    gd = jax.jit(jax.grad(loss(dense_f), argnums=(0, 1, 2, 3)))(
+        qh, kh, vh, tables)
+    for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gd)):
+        # table grads sum over every position (magnitude ~50): allow
+        # relative summation-order noise on top of the absolute floor
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=2e-5)
+        assert np.all(np.isfinite(np.asarray(a)))
+
+
 def test_ring_dropout_normalised():
     """Dropout keeps the output an unbiased average: rows where the mask
     kept everything match dense; output stays finite and bounded."""
@@ -144,12 +241,16 @@ def test_attn_train_routes_through_ring():
                                    rtol=0, atol=1e-5)
 
 
-def test_transformer_train_loss_matches_under_sp():
-    """Flagship train_fn loss is identical (to fp32 tolerance) with the
-    ring route active on a (2,1,4) mesh, dropout off."""
+@pytest.mark.parametrize("model_name", ["transformer", "transformer_rela",
+                                        "transformer_rpr"])
+def test_transformer_train_loss_matches_under_sp(model_name):
+    """train_fn loss is identical (to fp32 tolerance) with the ring
+    route active on a (2,1,4) mesh, dropout off — for the base softmax,
+    ReLA (relu mode) and RPR (relative-position mode) families."""
     cfg = tiny_config(dropout=0.0, relu_dropout=0.0, residual_dropout=0.0,
-                      attention_dropout=0.0)
-    model = get_model("transformer")
+                      attention_dropout=0.0, model_name=model_name,
+                      scope_name=model_name)
+    model = get_model(model_name)
     params = model.init_fn(jax.random.PRNGKey(0), cfg)
     batch = toy_batch(batch=4, src_len=8, tgt_len=8)
     feats = {k: jnp.asarray(v) for k, v in batch.items()}

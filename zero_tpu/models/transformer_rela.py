@@ -29,9 +29,12 @@ def init_enc_layer(key, cfg, layer):
 
 
 def enc_layer(p, x, src_keep, cfg, rngs):
+    # pad_mask declares the decomposed mask so ReLA can ride the ring
+    # (SP) route; the dense path keeps using src_keep
     y = attention.attn_train(p["self"], x, None, src_keep, cfg.num_heads,
                              rng=rngs(), drop=cfg.attention_dropout,
-                             relu=True)["output"]
+                             relu=True,
+                             pad_mask=src_keep[:, 0, 0, :])["output"]
     x = nn.layer_norm(p["ln1"],
                       nn.residual_fn(x, y, rngs(), cfg.residual_dropout))
     y = nn.ffn(p["ffn"], x, rngs(), cfg.relu_dropout)
@@ -61,7 +64,7 @@ def init_dec_layer(key, cfg, layer):
 def dec_layer_train(p, x, state, self_keep, mem_keep, cfg, rngs, tgt_mask):
     y = attention.attn_train(p["self"], x, None, self_keep, cfg.num_heads,
                              rng=rngs(), drop=cfg.attention_dropout,
-                             relu=True)["output"]
+                             relu=True, causal=True)["output"]
     x = nn.layer_norm(p["ln1"],
                       nn.residual_fn(x, y, rngs(), cfg.residual_dropout))
     y = attention.attn_train(p["cross"], x, state["encodes"], mem_keep,
@@ -104,6 +107,10 @@ HOOKS = common.LayerHooks(
     # unnormalized relu attention; the gated-RMSNorm epilogue runs in
     # self_attn_step after the kernel
     pool_kernel=True,
+    # ReLA rides the ring's relu mode (parallel/ring.py _block_attn);
+    # cross-attention reads replicated memory and is position-free
+    seq_in_pipe_enc=True,
+    seq_in_pipe_dec=True,
 )
 
 init_fn, train_fn, score_fn, infer_fn = common.make_transformer(HOOKS)

@@ -26,10 +26,14 @@ def init_enc_layer(key, cfg, layer):
 
 
 def enc_layer(p, x, src_keep, cfg, rngs):
+    # pad_mask declares the decomposed mask so RPR self-attention can
+    # ride the ring (SP) route (relative distances from global
+    # positions, parallel/ring.py:_rpr_block)
     y = attention.attn_train(
         p["self"], x, None, src_keep, cfg.num_heads, rng=rngs(),
         drop=cfg.attention_dropout, rpr_tables=p["self_rpr"],
-        max_relative_position=cfg.max_relative_position)["output"]
+        max_relative_position=cfg.max_relative_position,
+        pad_mask=src_keep[:, 0, 0, :])["output"]
     x = nn.layer_norm(p["ln1"],
                       nn.residual_fn(x, y, rngs(), cfg.residual_dropout))
     y = nn.ffn(p["ffn"], x, rngs(), cfg.relu_dropout)
@@ -54,7 +58,8 @@ def dec_layer_train(p, x, state, self_keep, mem_keep, cfg, rngs, tgt_mask):
     y = attention.attn_train(
         p["self"], x, None, self_keep, cfg.num_heads, rng=rngs(),
         drop=cfg.attention_dropout, rpr_tables=p["self_rpr"],
-        max_relative_position=cfg.max_relative_position)["output"]
+        max_relative_position=cfg.max_relative_position,
+        causal=True)["output"]
     x = nn.layer_norm(p["ln1"],
                       nn.residual_fn(x, y, rngs(), cfg.residual_dropout))
     y = attention.attn_train(
@@ -95,6 +100,14 @@ HOOKS = common.LayerHooks(
     pool_kernel=False,  # RPR's relative-position tables need per-step
     # score offsets the pool kernel doesn't compute (ReLA, by contrast,
     # rides the kernel's relu mode since r3)
+    # encoder self-attention rides the ring's RPR mode (global-position
+    # distances, parallel/ring.py _rpr_block); the DECODER stays dense:
+    # its cross-attention applies cross_rpr, whose distance matrix is
+    # query-position-dependent -- inside the seq-manual region the dense
+    # fallback would use local (not global) query positions, silently
+    # wrong, so dec is not declared
+    seq_in_pipe_enc=True,
+    seq_in_pipe_dec=False,
 )
 
 init_fn, train_fn, score_fn, infer_fn = common.make_transformer(HOOKS)

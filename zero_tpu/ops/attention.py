@@ -219,48 +219,44 @@ def attn_train(params, query, memory, keep_mask, num_heads, *,
     # flash route: the semantic mask must decompose into a causal flag +
     # key-side pad mask, declared by the caller passing causal/pad_mask.
     from zero_tpu.parallel import ring as ring_mod
-    ring_clean = (memory is None and not relu and rpr_tables is None
-                  and count_weights is None and fuse_weight is None
-                  and fuse_mask is None
-                  and (causal or pad_mask is not None))
-    if ring_mod.in_manual_seq() and memory is None:
+    # ring-capable = the semantic mask decomposes (causal flag + key-side
+    # pad mask) and there is no full-matrix epilogue coupling; ReLA
+    # (relu) and Shaw RPR ride the ring via _block_attn's variant modes.
+    ring_clean = (memory is None and count_weights is None
+                  and fuse_weight is None and fuse_mask is None
+                  and (causal or pad_mask is not None)
+                  and (rpr_tables is None
+                       or max_relative_position is not None))
+    manual_seq = ring_mod.in_manual_seq() and memory is None
+    ring_ok = (not manual_seq and ring_clean
+               and ring_mod.ring_route_ok(q.shape[0], num_heads,
+                                          q.shape[1], k.shape[1]))
+    if manual_seq and not ring_clean:
         # Inside the combined {'pipe','seq'} manual region the activations
         # are seq-LOCAL blocks: self-attention MUST run the ring body (a
         # dense fallback would attend only within the local block, which
         # is silently wrong math). The pipeline gates entry on the hooks'
         # declared capability, so failing here means a wiring bug.
-        if not ring_clean:
-            raise ValueError(
-                "self-attention variant is not ring-capable inside the "
-                "seq-manual pipeline region; the model's LayerHooks must "
-                "not declare seq_in_pipe for this stack")
+        raise ValueError(
+            "self-attention variant is not ring-capable inside the "
+            "seq-manual pipeline region; the model's LayerHooks must "
+            "not declare seq_in_pipe for this stack")
+    if manual_seq or ring_ok:
         qh = split_heads(q, num_heads)
         kh = split_heads(k, num_heads)
         vh = split_heads(v, num_heads)
-        o = ring_mod.ring_self_attention_manual(
-            qh, kh, vh, pad_mask, causal=causal, rng=rng, drop=drop)
+        ring_fn = (ring_mod.ring_self_attention_manual if manual_seq
+                   else ring_mod.ring_self_attention)
+        o = ring_fn(qh, kh, vh, pad_mask, causal=causal, rng=rng,
+                    drop=drop, relu=relu, rpr_tables=rpr_tables,
+                    max_rel=max_relative_position)
+        # falls through to the shared epilogue (ReLA gated RMS norm,
+        # AAN/fuse add-on, output projection)
         o = combine_heads(o.astype(q.dtype))
-        if "o" in params:
-            o = nn.linear(params["o"], o)
-        return {"output": o, "weights": None}
-    ring_ok = (ring_clean
-               and ring_mod.ring_route_ok(q.shape[0], num_heads,
-                                          q.shape[1], k.shape[1]))
-    if ring_ok:
-        qh = split_heads(q, num_heads)
-        kh = split_heads(k, num_heads)
-        vh = split_heads(v, num_heads)
-        o = ring_mod.ring_self_attention(
-            qh, kh, vh, pad_mask, causal=causal, rng=rng, drop=drop)
-        o = combine_heads(o.astype(q.dtype))
-        if "o" in params:
-            o = nn.linear(params["o"], o)
-        return {"output": o, "weights": None}
-
-    flash_ok = (use_flash and not relu and rpr_tables is None
-                and count_weights is None
-                and kernels_supported(q.shape[1], k.shape[1]))
-    if flash_ok:
+        weights = None
+    elif (use_flash and not relu and rpr_tables is None
+          and count_weights is None
+          and kernels_supported(q.shape[1], k.shape[1])):
         import zero_tpu.ops.kernels.fused_attention as fa_mod
         import zero_tpu.ops.kernels.streaming_attention as sa_mod
         qh = split_heads(q, num_heads)

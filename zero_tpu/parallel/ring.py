@@ -117,36 +117,81 @@ def ring_route_ok(batch: int, num_heads: int, lq: int, lk: int) -> bool:
             and num_heads % int(m.shape.get("model", 1)) == 0)
 
 
-def _block_attn(q, kh, vh, keep, qpos, kpos, causal, rng, drop, m, l, acc):
-    """One online-softmax accumulation step against a single K/V block.
+def _drop_mask(p, rng, drop):
+    """Counter-hash dropout on block weights (inverted scale)."""
+    if rng is None or not drop:
+        return p
+    t = int(round((1.0 - drop) * 256.0))
+    if t <= 0:
+        return jnp.zeros_like(p)
+    if t >= 256:
+        return p
+    bits = _hash_bits(rng, p.shape) & jnp.uint32(255)
+    return jnp.where(bits < jnp.uint32(t), p * (256.0 / t),
+                     jnp.zeros_like(p))
+
+
+def _rpr_block(rpr_tables, qpos, kpos, max_rel):
+    """Per-block relative-position embeddings from GLOBAL positions:
+    ids [Lq, Lk] = clip(qpos - kpos, ±max_rel) + max_rel; returns fp32
+    (r_k [Lq, Lk, dh], r_v [Lq, Lk, dh]) -- ops/rpr.py math on ring
+    blocks (the dense path computes the same ids over the full [L, L])."""
+    ids = jnp.clip(qpos[:, None] - kpos[None, :], -max_rel, max_rel) \
+        + max_rel
+    r_k = jnp.take(rpr_tables["keys"].astype(jnp.float32), ids, axis=0)
+    r_v = jnp.take(rpr_tables["values"].astype(jnp.float32), ids, axis=0)
+    return r_k, r_v
+
+
+def _block_attn(q, kh, vh, keep, qpos, kpos, causal, rng, drop, m, l, acc,
+                relu=False, rpr_tables=None, max_rel=None):
+    """One accumulation step against a single K/V block.
 
     q is pre-scaled fp32 [B, H, Lq, dh]; kh/vh [B, H, Lk, dh];
-    keep [B, Lk] or None. Returns updated (m, l, acc)."""
+    keep [B, Lk] or None. Returns updated (m, l, acc).
+
+    relu=True: ReLA mode (ops/attention.py _attn_core relu branch) --
+    multiply-masked relu weights, NO normalisation, so the block sum is
+    linear and m/l pass through untouched.
+    rpr_tables: Shaw relative-position add-ons on logits and outputs;
+    distances come from the blocks' GLOBAL positions, so the ring result
+    equals the dense [L, L] computation."""
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, kh.astype(jnp.float32))
-    if keep is not None:
-        logits = jnp.where(keep[:, None, None, :] > 0, logits, _NEG)
-    if causal:
-        allowed = kpos[None, :] <= qpos[:, None]          # [Lq, Lk]
-        logits = jnp.where(allowed[None, None], logits, _NEG)
+    r_v = None
+    if rpr_tables is not None:
+        r_k, r_v = _rpr_block(rpr_tables, qpos, kpos, max_rel)
+        logits = logits + jnp.einsum("bhqd,qkd->bhqk", q, r_k)
 
-    m_new = jnp.maximum(m, jnp.max(logits, axis=-1))
-    rescale = jnp.exp(m - m_new)
-    p = jnp.exp(logits - m_new[..., None])
-    l = l * rescale + jnp.sum(p, axis=-1)
-    if rng is not None and drop:
-        t = int(round((1.0 - drop) * 256.0))
-        if t <= 0:
-            p = jnp.zeros_like(p)
-        elif t < 256:
-            bits = _hash_bits(rng, p.shape) & jnp.uint32(255)
-            p = jnp.where(bits < jnp.uint32(t), p * (256.0 / t),
-                          jnp.zeros_like(p))
-    acc = acc * rescale[..., None] + jnp.einsum(
-        "bhqk,bhkd->bhqd", p, vh.astype(jnp.float32))
-    return m_new, l, acc
+    if relu:
+        mult = jnp.ones((), jnp.float32)
+        if keep is not None:
+            mult = mult * keep[:, None, None, :]
+        if causal:
+            allowed = (kpos[None, :] <= qpos[:, None]).astype(jnp.float32)
+            mult = mult * allowed[None, None]
+        p = _drop_mask(jax.nn.relu(logits * mult), rng, drop)
+    else:
+        if keep is not None:
+            logits = jnp.where(keep[:, None, None, :] > 0, logits, _NEG)
+        if causal:
+            allowed = kpos[None, :] <= qpos[:, None]      # [Lq, Lk]
+            logits = jnp.where(allowed[None, None], logits, _NEG)
+        m_new = jnp.maximum(m, jnp.max(logits, axis=-1))
+        rescale = jnp.exp(m - m_new)
+        p = jnp.exp(logits - m_new[..., None])
+        l = l * rescale + jnp.sum(p, axis=-1)
+        p = _drop_mask(p, rng, drop)
+        acc = acc * rescale[..., None]
+        m = m_new
+
+    acc = acc + jnp.einsum("bhqk,bhkd->bhqd", p, vh.astype(jnp.float32))
+    if r_v is not None:
+        acc = acc + jnp.einsum("bhqk,qkd->bhqd", p, r_v)
+    return m, l, acc
 
 
-def _ring_body(qh, kh, vh, kv_keep, rng, *, n, axis_name, causal, drop):
+def _ring_body(qh, kh, vh, kv_keep, rng, *, n, axis_name, causal, drop,
+               relu=False, rpr_tables=None, max_rel=None):
     """Per-device body under shard_map: n-step ring accumulation."""
     b, h, lq, dh = qh.shape
     lk = kh.shape[2]
@@ -172,7 +217,8 @@ def _ring_body(qh, kh, vh, kv_keep, rng, *, n, axis_name, causal, drop):
         if rng is not None and drop:
             step_rng = jax.random.fold_in(jax.random.fold_in(rng, me), owner)
         m, l, acc = _block_attn(q, kh, vh, keep, qpos, kpos, causal,
-                                step_rng, drop, m, l, acc)
+                                step_rng, drop, m, l, acc, relu=relu,
+                                rpr_tables=rpr_tables, max_rel=max_rel)
         if n > 1:
             kh = jax.lax.ppermute(kh, axis_name, perm)
             vh = jax.lax.ppermute(vh, axis_name, perm)
@@ -182,12 +228,14 @@ def _ring_body(qh, kh, vh, kv_keep, rng, *, n, axis_name, causal, drop):
 
     (m, l, acc, _, _, _), _ = jax.lax.scan(
         step, (m, l, acc, kh, vh, kv_keep), jnp.arange(n))
-    out = acc / jnp.maximum(l[..., None], 1e-30)
+    # ReLA has no normalisation: the relu block sums are final
+    out = acc if relu else acc / jnp.maximum(l[..., None], 1e-30)
     return out.astype(qh.dtype)
 
 
 def ring_self_attention_manual(qh, kh, vh, kv_keep_global=None, *,
-                               causal=False, rng=None, drop=None):
+                               causal=False, rng=None, drop=None,
+                               relu=False, rpr_tables=None, max_rel=None):
     """Ring self-attention INSIDE an ambient manual region over 'seq'
     (the combined {'pipe','seq'} region of parallel/pipe.py).
 
@@ -195,7 +243,8 @@ def ring_self_attention_manual(qh, kh, vh, kv_keep_global=None, *,
     already seq-sharded by the enclosing shard_map); kv_keep_global: the
     FULL [B, S] key-side pad mask (consts enter the region replicated) --
     this member's block is sliced out here -- or None. Same math as
-    ring_self_attention; no nested shard_map."""
+    ring_self_attention; no nested shard_map. relu/rpr_tables/max_rel:
+    the ReLA and Shaw-RPR attention variants (_block_attn)."""
     n = seq_degree()
     drop = float(drop) if (drop and rng is not None) else 0.0
     lk = kh.shape[2]
@@ -210,7 +259,8 @@ def ring_self_attention_manual(qh, kh, vh, kv_keep_global=None, *,
     if not drop:
         rng = jax.random.PRNGKey(0)  # unused placeholder
     return _ring_body(qh, kh, vh, keep, rng, n=n, axis_name="seq",
-                      causal=causal, drop=drop)
+                      causal=causal, drop=drop, relu=relu,
+                      rpr_tables=rpr_tables, max_rel=max_rel)
 
 
 def _exclusive_shard_prefix(total):
@@ -253,14 +303,18 @@ def seq_cummean_manual(x_loc, mask_global, *, masked=True):
 
 
 def ring_self_attention(qh, kh, vh, kv_keep=None, *, causal=False,
-                        rng=None, drop=None, mesh: Optional[Mesh] = None):
+                        rng=None, drop=None, mesh: Optional[Mesh] = None,
+                        relu=False, rpr_tables=None, max_rel=None):
     """Sequence-parallel self-attention on head-split projections.
 
     qh/kh/vh: [B, H, S, dh] GLOBAL arrays (inside jit, GSPMD-sharded);
     kv_keep: [B, S] 1/0 key-side pad mask or None. Shards B over 'data',
     H over 'model', S over 'seq'; returns [B, H, S, dh] sharded the same
     way. Equals dense masked softmax attention (fp32 accumulation) up to
-    summation order.
+    summation order. relu=True runs the ReLA variant (linear relu block
+    sums, no normalisation); rpr_tables/max_rel add Shaw relative-
+    position terms computed from global positions (tables enter the
+    region replicated; their grads psum over 'seq' at the boundary).
     """
     mesh = mesh if mesh is not None else _ACTIVE_MESH
     if mesh is None:
@@ -275,7 +329,8 @@ def ring_self_attention(qh, kh, vh, kv_keep=None, *, causal=False,
         rng = jax.random.PRNGKey(0)  # unused placeholder (shard_map arg)
 
     body = functools.partial(_ring_body, n=n, axis_name="seq",
-                             causal=causal, drop=drop)
+                             causal=causal, drop=drop, relu=relu,
+                             max_rel=max_rel)
     # partial-manual: only 'seq' is mapped here; batch/head sharding over
     # 'data'/'model' stays GSPMD-managed, which also lets the ring nest
     # inside other partial-manual regions (the 'pipe' pipeline). When an
@@ -287,9 +342,11 @@ def ring_self_attention(qh, kh, vh, kv_keep=None, *, causal=False,
     if ambient is None or not ambient.shape:
         kwargs["mesh"] = mesh
     f = jax.shard_map(
-        lambda q_, k_, v_, keep_, rng_: body(q_, k_, v_, keep_, rng_),
+        lambda q_, k_, v_, keep_, rng_, rpr_: body(q_, k_, v_, keep_, rng_,
+                                                   rpr_tables=rpr_),
         axis_names={"seq"},
-        in_specs=(qspec, qspec, qspec, P(None, "seq"), P()),
+        in_specs=(qspec, qspec, qspec, P(None, "seq"), P(),
+                  jax.tree.map(lambda _: P(), rpr_tables)),
         out_specs=qspec,
         **kwargs)
-    return f(qh, kh, vh, kv_keep, rng)
+    return f(qh, kh, vh, kv_keep, rng, rpr_tables)
