@@ -67,6 +67,27 @@ def test_aan_weight_is_cumulative_average():
     np.testing.assert_allclose(w[0, 3], [0, 0, 0, 0], atol=1e-6)  # pad row
 
 
+def test_aan_cummean_equals_weight_matmul():
+    """The O(L) cumsum form must equal einsum(aan_weight(mask), x) for
+    random masks (incl. an all-pad row) in masked mode, and the legacy
+    cumsum/positions form in unmasked mode."""
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(3, 8, 5).astype(np.float32))
+    mask = jnp.asarray((rs.rand(3, 8) > 0.3).astype(np.float32))
+    mask = mask.at[1].set(0.0)  # all-pad row must stay NaN-free
+    w = nn.aan_weight(mask)
+    ref = jnp.einsum("bqk,bkd->bqd", w, x)
+    out = nn.aan_cummean(x, mask, masked=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    denom = jnp.maximum(jnp.cumsum(mask, axis=1), 1.0)[..., None]
+    ref_u = jnp.cumsum(x, axis=1) / denom
+    out_u = nn.aan_cummean(x, mask, masked=False)
+    np.testing.assert_allclose(np.asarray(out_u), np.asarray(ref_u),
+                               rtol=1e-5, atol=1e-6)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
 # -- label smoothing loss ------------------------------------------------------
 
 def test_label_smooth_loss_matches_reference_math():

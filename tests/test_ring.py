@@ -242,11 +242,14 @@ def test_attn_train_routes_through_ring():
 
 
 @pytest.mark.parametrize("model_name", ["transformer", "transformer_rela",
-                                        "transformer_rpr"])
+                                        "transformer_rpr",
+                                        "transformer_multilingual",
+                                        "transformer_clsr"])
 def test_transformer_train_loss_matches_under_sp(model_name):
     """train_fn loss is identical (to fp32 tolerance) with the ring
-    route active on a (2,1,4) mesh, dropout off — for the base softmax,
-    ReLA (relu mode) and RPR (relative-position mode) families."""
+    route active on a (2,1,4) mesh, dropout off — base softmax, ReLA
+    (relu mode), RPR (relative-position mode), and the LaLN/LaLT and
+    CLSR multilingual variants (position-free per-language layers)."""
     cfg = tiny_config(dropout=0.0, relu_dropout=0.0, residual_dropout=0.0,
                       attention_dropout=0.0, model_name=model_name,
                       scope_name=model_name)

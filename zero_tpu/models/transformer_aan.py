@@ -54,13 +54,10 @@ def _aan_block_train(p, x, tgt_mask, cfg, rngs):
         # as a seq-parallel prefix mean
         x_fwd = ring.seq_cummean_manual(x, tgt_mask,
                                         masked=bool(cfg.aan_mask))
-    elif cfg.aan_mask:
-        w = nn.aan_weight(tgt_mask.astype(jnp.float32), dtype=x.dtype)
-        x_fwd = jnp.einsum("bqk,bkd->bqd", w, x)
     else:
-        denom = jnp.cumsum(tgt_mask.astype(jnp.float32), axis=1)
-        denom = jnp.maximum(denom, 1.0)[:, :, None].astype(x.dtype)
-        x_fwd = jnp.cumsum(x, axis=1) / denom
+        # O(L) cumsum form of the cumulative (masked) mean -- equal to
+        # einsum(nn.aan_weight(mask), x) without the [B, L, L] matmul
+        x_fwd = nn.aan_cummean(x, tgt_mask, masked=bool(cfg.aan_mask))
     if cfg.use_ffn:
         y = nn.ffn(p["aan_ffn"], x_fwd, rngs(), cfg.relu_dropout)
     else:

@@ -90,8 +90,11 @@ def init_fn(rng, cfg):
 
 
 def _enc_layer(p, x, src_keep, lang, cfg, rngs, training, gate_sums):
+    # pad_mask declares the decomposed mask for the ring (SP) route;
+    # the CLSR gates are position-free
     y = attention.attn_train(p["self"], x, None, src_keep, cfg.num_heads,
-                             rng=rngs(), drop=cfg.attention_dropout)["output"]
+                             rng=rngs(), drop=cfg.attention_dropout,
+                             pad_mask=src_keep[:, 0, 0, :])["output"]
     y = clsr(p["clsr1"], y, lang, rngs, training, gate_sums)
     x = nn.layer_norm(p["ln1"],
                       nn.residual_fn(x, y, rngs(), cfg.residual_dropout))
@@ -105,7 +108,8 @@ def _enc_layer(p, x, src_keep, lang, cfg, rngs, training, gate_sums):
 def _dec_layer(p, x, state, self_keep, mem_keep, lang, cfg, rngs, training,
                gate_sums):
     y = attention.attn_train(p["self"], x, None, self_keep, cfg.num_heads,
-                             rng=rngs(), drop=cfg.attention_dropout)["output"]
+                             rng=rngs(), drop=cfg.attention_dropout,
+                             causal=True)["output"]
     y = clsr(p["clsr1"], y, lang, rngs, training, gate_sums)
     x = nn.layer_norm(p["ln1"],
                       nn.residual_fn(x, y, rngs(), cfg.residual_dropout))

@@ -108,8 +108,11 @@ def _encode(params, source, cfg, rngs, training):
 
 
 def _dec_layer_train(p, x, state, self_keep, mem_keep, cfg, rngs, lang):
+    # causal declares the decomposed mask so self-attention can ride the
+    # ring (SP) route under a 'seq' mesh axis; LaLN/LaLT are position-free
     y = attention.attn_train(p["self"], x, None, self_keep, cfg.num_heads,
-                             rng=rngs(), drop=cfg.attention_dropout)["output"]
+                             rng=rngs(), drop=cfg.attention_dropout,
+                             causal=True)["output"]
     x = lang_layer_norm(p["ln1"],
                         nn.residual_fn(x, y, rngs(), cfg.residual_dropout),
                         lang)

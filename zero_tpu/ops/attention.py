@@ -289,10 +289,10 @@ def attn_train(params, query, memory, keep_mask, num_heads, *,
         v_q = nn.linear(params["v"], query)
         if fuse_mask is not None and ring_mod.in_manual_seq():
             aan_o = ring_mod.seq_cummean_manual(v_q, fuse_mask, masked=True)
+        elif fuse_mask is not None:
+            # O(L) cumsum form (nn.aan_cummean) == einsum(aan_weight, .)
+            aan_o = nn.aan_cummean(v_q, fuse_mask, masked=True)
         else:
-            if fuse_weight is None:
-                fuse_weight = nn.aan_weight(fuse_mask.astype(jnp.float32),
-                                            dtype=v_q.dtype)
             aan_o = jnp.einsum("bqk,bkd->bqd", fuse_weight.astype(v_q.dtype),
                                v_q)
         o = o + aan_o

@@ -189,6 +189,25 @@ def masking_mask(mask, dtype=jnp.float32):
     return mask.astype(dtype)[:, None, None, :]
 
 
+def aan_cummean(x, mask, masked: bool = True):
+    """AAN cumulative (masked) mean, O(L) cumsum form.
+
+    Identical math to ``einsum(aan_weight(mask), x)`` -- per position g:
+      masked:   m_g * (sum_{j<=g} m_j x_j) / max(sum_{j<=g} m_j, 1)
+      unmasked: (sum_{j<=g} x_j)          / max(sum_{j<=g} m_j, 1)
+    -- but linear in L instead of the [B, L, L] matmul (the reference's
+    softmax construction, func.py:390-398, is quadratic by shape; the
+    TPU-friendly form keeps HBM traffic O(B*L*d)). fp32 accumulation."""
+    mf = mask.astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    num = jnp.cumsum(xf * mf[..., None] if masked else xf, axis=1)
+    cnt = jnp.cumsum(mf, axis=1)
+    out = num / jnp.maximum(cnt, 1.0)[..., None]
+    if masked:
+        out = out * mf[..., None]
+    return out.astype(x.dtype)
+
+
 def aan_weight(mask, dtype=jnp.float32):
     """AAN training weight matrix [B, L, L]: row-normalised cumulative
     average restricted to valid positions.
