@@ -435,11 +435,30 @@ def bench_afs_speech():
 
 
 def main():
+    # Backend-init watchdog: with the axon tunnel down, the first device
+    # query blocks indefinitely inside PJRT init -- a hang the driver
+    # cannot distinguish from a long bench. Emit a structured error
+    # line instead (SIGALRM fires only if jax.devices() never returns).
+    import signal
+
+    def _init_timeout(signum, frame):
+        print(json.dumps({
+            "metric": "train_tokens_per_sec_per_chip", "value": 0,
+            "unit": "tokens/s/chip", "vs_baseline": 0,
+            "error": "TPU backend init timed out after 300 s "
+                     "(axon tunnel down?)"}))
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, _init_timeout)
+    signal.alarm(300)
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
                       "/root/.cache/zero_tpu_xla")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.devices()          # blocks here if the tunnel is down
+    signal.alarm(0)
     if jax.default_backend() == "tpu":
         # hardware PRNG, same policy as run.py:setup_prng
         jax.config.update("jax_default_prng_impl", "rbg")

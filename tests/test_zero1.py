@@ -43,7 +43,7 @@ def _run_steps(cfg, nsteps=3):
 
 def _cfg(**over):
     return tiny_config(dropout=0.0, relu_dropout=0.0, residual_dropout=0.0,
-                       attention_dropout=0.0, **over)
+                       attention_dropout=0.0, ema_decay=0.999, **over)
 
 
 def _assert_equivalent(s0, l0, s1, l1):
@@ -63,6 +63,9 @@ def _assert_equivalent(s0, l0, s1, l1):
     perr = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
                         s0.params, s1.params)
     assert max(jax.tree.leaves(perr)) < 3e-4, max(jax.tree.leaves(perr))
+    eerr = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                        s0.ema, s1.ema)
+    assert max(jax.tree.leaves(eerr)) < 3e-4, max(jax.tree.leaves(eerr))
 
 
 def test_zero1_matches_replicated():
@@ -82,19 +85,19 @@ def test_zero1_moments_actually_sharded():
     train_step.py pins it; without it GSPMD may silently re-replicate)."""
     cfg = _cfg(mesh_data=4, mesh_model=1, zero_stage=1)
     state, _ = _run_steps(cfg, nsteps=1)
-    mu = state.opt_state.mu
-    flat = jax.tree_util.tree_flatten_with_path(mu)[0]
     data_par = 4
-    sharded = unshardable = 0
-    for path, leaf in flat:
-        has_data = any(ax == "data" for ax in leaf.sharding.spec)
-        divisible = any(d % data_par == 0 and d > 0 for d in leaf.shape)
-        if divisible:
-            assert has_data, (path, leaf.shape, leaf.sharding)
-            sharded += 1
-        else:
-            unshardable += 1
-    assert sharded > 10, (sharded, unshardable)
+    for tree in (state.opt_state.mu, state.ema):
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        sharded = unshardable = 0
+        for path, leaf in flat:
+            has_data = any(ax == "data" for ax in leaf.sharding.spec)
+            divisible = any(d % data_par == 0 and d > 0 for d in leaf.shape)
+            if divisible:
+                assert has_data, (path, leaf.shape, leaf.sharding)
+                sharded += 1
+            else:
+                unshardable += 1
+        assert sharded > 10, (sharded, unshardable)
 
 
 def test_zero1_composes_with_tp():

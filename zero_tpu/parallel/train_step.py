@@ -51,7 +51,10 @@ def init_train_state(model, cfg, rng, mesh=None) -> TrainState:
             params=jax.device_put(params, pspec),
             opt_state=jax.device_put(opt_state,
                                      _opt_sharding(opt_state, mspec, mesh)),
-            ema=jax.device_put(ema, pspec) if ema is not None else None,
+            # EMA is param-shaped per-step state like the moments: it
+            # shards ZeRO-style too (gathered transparently when eval
+            # swaps it in / the saver fetches it to host)
+            ema=jax.device_put(ema, mspec) if ema is not None else None,
             step=jax.device_put(state.step, mesh_lib.replicated(mesh)))
     return state
 
@@ -158,19 +161,22 @@ def make_train_step(model, cfg, mesh=None, donate: bool = True):
             grads = jax.tree.map(lambda g: g * scale, grads)
 
         updates, new_opt_state = tx.update(grads, state.opt_state, params)
-        if zero1 and isinstance(new_opt_state, optax.ScaleByAdamState):
+        zspec = None
+        if zero1:
+            zspec = mesh_lib.zero1_sharding(
+                params, mesh, mesh_lib.param_sharding(
+                    params, mesh, warn_unsharded=False))
+        if zspec is not None and isinstance(new_opt_state,
+                                            optax.ScaleByAdamState):
             # pin the ZeRO-1 moment layout through the step: without the
             # constraint GSPMD may re-replicate mu/nu, silently undoing
             # the memory saving. The Adam elementwise math then runs
             # sharded and the weight delta is all-gathered at the param
             # update below -- exactly the ZeRO-1 schedule.
-            pspec = mesh_lib.param_sharding(params, mesh,
-                                            warn_unsharded=False)
-            mspec = mesh_lib.zero1_sharding(params, mesh, pspec)
             new_opt_state = optax.ScaleByAdamState(
                 count=new_opt_state.count,
-                mu=jax.lax.with_sharding_constraint(new_opt_state.mu, mspec),
-                nu=jax.lax.with_sharding_constraint(new_opt_state.nu, mspec))
+                mu=jax.lax.with_sharding_constraint(new_opt_state.mu, zspec),
+                nu=jax.lax.with_sharding_constraint(new_opt_state.nu, zspec))
         new_params = jax.tree.map(
             lambda p, u: (p - lr * u.astype(p.dtype)), params, updates)
 
@@ -188,6 +194,8 @@ def make_train_step(model, cfg, mesh=None, donate: bool = True):
             new_ema = jax.tree.map(
                 lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
                 state.ema, new_params)
+            if zspec is not None:
+                new_ema = jax.lax.with_sharding_constraint(new_ema, zspec)
 
         pnorm = optax.global_norm(new_params)
         metrics = {"loss": loss, "gnorm": gnorm, "pnorm": pnorm}
