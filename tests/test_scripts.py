@@ -104,3 +104,60 @@ def test_synth_mt_generator(tmp_path):
     # every target token is in the generated vocab
     vocab = set(open(out + "/vocab.tgt").read().split())
     assert all(w in vocab for line in tgt for w in line)
+
+
+# -- compile-cache warming ----------------------------------------------------
+
+def test_warm_cache_shape_collection(tmp_path):
+    """The warm tool's host-side replay must enumerate exactly the
+    stacked shapes the train feed would produce: token-mode row counts
+    on the geometric ladder, lengths on the pad multiple, maxes taken
+    over each update_cycle group."""
+    from zero_tpu.scripts.warm_cache import (collect_eval_shapes,
+                                             collect_train_shapes)
+    from zero_tpu.config import default_config
+    from zero_tpu.train import _make_dataset
+    from zero_tpu.vocab import Vocab
+
+    rs = np.random.RandomState(5)
+    words = ["w%d" % i for i in range(20)]
+    (tmp_path / "vocab.txt").write_text(
+        "\n".join(["<pad>", "<unk>", "<eos>"] + words) + "\n")
+    lines = [" ".join(rs.choice(words, rs.randint(3, 15)))
+             for _ in range(300)]
+    (tmp_path / "c.src").write_text("\n".join(lines) + "\n")
+    (tmp_path / "c.tgt").write_text("\n".join(lines) + "\n")
+
+    cfg = default_config()
+    cfg.src_vocab = Vocab(str(tmp_path / "vocab.txt"))
+    cfg.tgt_vocab = cfg.src_vocab
+    cfg.src_train_file = str(tmp_path / "c.src")
+    cfg.tgt_train_file = str(tmp_path / "c.tgt")
+    cfg.max_len = 16
+    cfg.batch_or_token = "token"
+    cfg.token_size = 150
+    cfg.update_cycle = 2
+    cfg.pad_seq_multiple = 4
+    cfg.pad_batch_multiple = 4
+    cfg.eval_batch_size = 8
+
+    ds = _make_dataset(cfg, cfg.src_train_file, cfg.tgt_train_file,
+                       train=True, data_par=1)
+    shapes = collect_train_shapes(cfg, ds, max_shapes=64)
+    assert shapes, "no shapes collected"
+    from zero_tpu.data import snap_rows_ladder
+    for rows, slen, tlen in shapes:
+        assert rows == snap_rows_ladder(rows, 4), (rows,)
+        assert slen % 4 == 0 and tlen % 4 == 0, (slen, tlen)
+        assert slen <= 16 and tlen <= 16
+
+    dev = _make_dataset(cfg, cfg.src_train_file, cfg.tgt_train_file,
+                        train=False, data_par=1)
+    eval_shapes = collect_eval_shapes(cfg, dev, max_shapes=64)
+    assert eval_shapes
+    assert all(r == 8 for r, _ in eval_shapes), eval_shapes
+
+    # deterministic: a second replay enumerates the same set
+    ds2 = _make_dataset(cfg, cfg.src_train_file, cfg.tgt_train_file,
+                        train=True, data_par=1)
+    assert collect_train_shapes(cfg, ds2, max_shapes=64) == shapes
