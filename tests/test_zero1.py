@@ -100,6 +100,21 @@ def test_zero1_moments_actually_sharded():
         assert sharded > 10, (sharded, unshardable)
 
 
+def test_zero1_reduces_per_chip_bytes():
+    """The whole point: per-chip optimizer+EMA bytes must drop by close
+    to the data-parallel degree (4) vs the replicated layout."""
+    from zero_tpu.parallel.mesh import per_device_bytes
+    s0, _ = _run_steps(_cfg(mesh_data=4, mesh_model=1, zero_stage=0),
+                       nsteps=1)
+    s1, _ = _run_steps(_cfg(mesh_data=4, mesh_model=1, zero_stage=1),
+                       nsteps=1)
+    assert per_device_bytes(s1.opt_state) < 0.5 * per_device_bytes(
+        s0.opt_state)
+    assert per_device_bytes(s1.ema) < 0.5 * per_device_bytes(s0.ema)
+    # params stay replicated over 'data' in both layouts
+    assert per_device_bytes(s1.params) == per_device_bytes(s0.params)
+
+
 def test_zero1_composes_with_tp():
     """ZeRO-1 over 'data' on top of Megatron TP over 'model': the moment
     spec keeps the TP axis and gains 'data' on a free dim; values still

@@ -248,6 +248,23 @@ def batch_sharding(batch, mesh: Mesh, batch_axis: int = 0):
     return jax.tree.map(mk, batch)
 
 
+def per_device_bytes(tree) -> int:
+    """Per-chip bytes of a sharded pytree (committed jax arrays): each
+    leaf contributes its shard size under its NamedSharding, so the
+    number reflects TP/PP/ZeRO sharding rather than global array size."""
+    total = 0
+    for leaf in jax.tree.leaves(tree):
+        if not hasattr(leaf, "shape"):
+            continue
+        sharding = getattr(leaf, "sharding", None)
+        if sharding is not None and hasattr(sharding, "shard_shape"):
+            shape = sharding.shard_shape(leaf.shape)
+        else:
+            shape = leaf.shape
+        total += int(np.prod(shape)) * leaf.dtype.itemsize
+    return total
+
+
 def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 

@@ -161,11 +161,11 @@ def make_train_step(model, cfg, mesh=None, donate: bool = True):
             grads = jax.tree.map(lambda g: g * scale, grads)
 
         updates, new_opt_state = tx.update(grads, state.opt_state, params)
-        zspec = None
+        zspec = pspec = None
         if zero1:
-            zspec = mesh_lib.zero1_sharding(
-                params, mesh, mesh_lib.param_sharding(
-                    params, mesh, warn_unsharded=False))
+            pspec = mesh_lib.param_sharding(params, mesh,
+                                            warn_unsharded=False)
+            zspec = mesh_lib.zero1_sharding(params, mesh, pspec)
         if zspec is not None and isinstance(new_opt_state,
                                             optax.ScaleByAdamState):
             # pin the ZeRO-1 moment layout through the step: without the
@@ -179,6 +179,12 @@ def make_train_step(model, cfg, mesh=None, donate: bool = True):
                 nu=jax.lax.with_sharding_constraint(new_opt_state.nu, zspec))
         new_params = jax.tree.map(
             lambda p, u: (p - lr * u.astype(p.dtype)), params, updates)
+        if pspec is not None:
+            # ZeRO-1 (not ZeRO-3): params come OUT replicated over
+            # 'data' -- the weight-delta all-gather happens here, once,
+            # instead of GSPMD propagating the sharded layout into the
+            # next step's forward pass (per-use weight all-gathers)
+            new_params = jax.lax.with_sharding_constraint(new_params, pspec)
 
         if safe_nan:
             ok = jnp.isfinite(loss) & jnp.isfinite(gnorm) \

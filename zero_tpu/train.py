@@ -225,6 +225,14 @@ def train(params) -> bool:
     num_params = sum(int(np.prod(x.shape))
                      for x in jax.tree.leaves(state.params))
     log.info("Total trainable variables size: %d", num_params)
+    from zero_tpu.parallel.mesh import per_device_bytes
+    mb = 1024.0 * 1024.0
+    log.info("Per-chip state: params %.1f MB, optimizer %.1f MB, "
+             "EMA %.1f MB (zero_stage=%d)",
+             per_device_bytes(state.params) / mb,
+             per_device_bytes(state.opt_state) / mb,
+             per_device_bytes(state.ema) / mb,
+             int(getattr(params, "zero_stage", 0)))
 
     step_fn = make_train_step(model, params, mesh)
     decode = make_decode_fn(params, model)
