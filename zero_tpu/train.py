@@ -183,6 +183,31 @@ def _dev_eval(params, decode, weights, dev_dataset, out_prefix: str):
 
 
 def train(params) -> bool:
+    # Preemption safety: TPU pods are routinely preempted with SIGTERM +
+    # a grace window. An orderly handler turns that into a normal
+    # checkpoint + recorder save and a clean exit, so `--mode train` on
+    # the same output_dir resumes mid-epoch (record.json fast-forward)
+    # with nothing lost but the steps since the last save. The flag is
+    # polled once per step; the handler itself does no jax work (it may
+    # fire inside a dispatch).
+    import signal
+    preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        preempted["flag"] = True
+
+    try:
+        prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:           # not the main thread (library use)
+        prev_sigterm = None
+    try:
+        return _train(params, preempted)
+    finally:
+        if prev_sigterm is not None:
+            signal.signal(signal.SIGTERM, prev_sigterm)
+
+
+def _train(params, preempted) -> bool:
     model = get_model(params.model_name)
     nproc = dist.process_count()
     pid = dist.process_index()
@@ -389,6 +414,18 @@ def train(params) -> bool:
             recorder.lrate = float(lr)
             recorder.epoch = epoch
 
+            if preempted["flag"]:
+                log.warning("SIGTERM received: checkpointing at step %d "
+                            "and exiting for preemption", step)
+                if dist.is_primary():
+                    saver.save({"params": state.params,
+                                "opt": state.opt_state,
+                                "ema": state.ema}, step)
+                    recorder.save_to_json(
+                        os.path.join(params.output_dir, "record.json"))
+                should_stop = True
+                break
+
             if params.save_freq > 0 and step % params.save_freq == 0 \
                     and dist.is_primary():
                 saver.save({"params": state.params, "opt": state.opt_state,
@@ -467,7 +504,9 @@ def train(params) -> bool:
         saver.save({"params": state.params, "opt": state.opt_state,
                     "ema": state.ema}, step)
         recorder.save_to_json(os.path.join(params.output_dir, "record.json"))
-    if params.src_dev_file and nproc == 1:
+    if preempted["flag"]:
+        pass    # exit inside the grace window; skip the final dev eval
+    elif params.src_dev_file and nproc == 1:
         bleu, _ = _dev_eval(params, decode, _eval_weights(params, state),
                             dev_dataset,
                             os.path.join(params.output_dir, "trans.txt"))
