@@ -288,11 +288,13 @@ def default_config() -> Config:
         # expert-parallel ways over an 'expert' mesh axis (shards the
         # transformer_moe expert weights; ops/moe.py); 1 = off
         mesh_expert=1,
-        # ZeRO optimizer-state sharding stage: 1 shards the Adam moments
-        # over the 'data' axis (1/data_par per chip instead of
-        # replicated; mesh.py:zero1_sharding), 0 = off. Update math is
-        # unchanged -- GSPMD derives the reduce/gather schedule from the
-        # layout.
+        # ZeRO optimizer-state/param sharding stage: 0 = off; 1 shards
+        # the Adam moments + EMA over the 'data' axis (1/data_par per
+        # chip instead of replicated; mesh.py:zero1_sharding); 3 also
+        # shards the PARAMS over 'data' (FSDP: per-use weight
+        # all-gathers + grad reduce-scatter, params 1/data_par per
+        # chip). Update math is unchanged -- GSPMD derives the
+        # reduce/gather schedule from the layout.
         zero_stage=0,
         # transformer_moe (Switch/GShard extension): expert count,
         # routed experts per token (1=Switch, 2=GShard), train-time

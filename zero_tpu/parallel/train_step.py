@@ -47,8 +47,13 @@ def init_train_state(model, cfg, rng, mesh=None) -> TrainState:
     if mesh is not None:
         pspec = mesh_lib.param_sharding(params, mesh)
         mspec = _moment_sharding(params, pspec, mesh, cfg)
+        # ZeRO-3 (FSDP): the params THEMSELVES shard over 'data' (same
+        # spec rule as the moments); GSPMD inserts the per-use weight
+        # all-gathers in forward/backward and reduce-scatters the grads
+        pspec_params = mspec if int(getattr(cfg, "zero_stage", 0)) >= 3 \
+            else pspec
         state = TrainState(
-            params=jax.device_put(params, pspec),
+            params=jax.device_put(params, pspec_params),
             opt_state=jax.device_put(opt_state,
                                      _opt_sharding(opt_state, mspec, mesh)),
             # EMA is param-shaped per-step state like the moments: it
@@ -111,8 +116,10 @@ def make_train_step(model, cfg, mesh=None, donate: bool = True):
     ema_decay = float(cfg.ema_decay)
     safe_nan = bool(cfg.safe_nan)
     gnorm_bound = float(cfg.gnorm_upper_bound)
-    zero1 = mesh is not None and int(getattr(cfg, "zero_stage", 0)) >= 1 \
-        and int(mesh.shape.get("data", 1)) > 1
+    zstage = int(getattr(cfg, "zero_stage", 0)) if mesh is not None else 0
+    dp_on = mesh is not None and int(mesh.shape.get("data", 1)) > 1
+    zero1 = zstage >= 1 and dp_on
+    zero3 = zstage >= 3 and dp_on
 
     robt_on = bool(getattr(cfg, "robt", False))
     if robt_on:
@@ -160,12 +167,17 @@ def make_train_step(model, cfg, mesh=None, donate: bool = True):
             scale = jnp.minimum(1.0, clip_norm / jnp.maximum(gnorm, 1e-12))
             grads = jax.tree.map(lambda g: g * scale, grads)
 
-        updates, new_opt_state = tx.update(grads, state.opt_state, params)
         zspec = pspec = None
         if zero1:
             pspec = mesh_lib.param_sharding(params, mesh,
                                             warn_unsharded=False)
             zspec = mesh_lib.zero1_sharding(params, mesh, pspec)
+        if zero3 and zspec is not None:
+            # ZeRO-3: pin the grads to the moment layout so the DP grad
+            # reduction lowers to one reduce-scatter (each chip keeps only
+            # its own shard) instead of all-reduce-then-slice
+            grads = jax.lax.with_sharding_constraint(grads, zspec)
+        updates, new_opt_state = tx.update(grads, state.opt_state, params)
         if zspec is not None and isinstance(new_opt_state,
                                             optax.ScaleByAdamState):
             # pin the ZeRO-1 moment layout through the step: without the
@@ -180,11 +192,16 @@ def make_train_step(model, cfg, mesh=None, donate: bool = True):
         new_params = jax.tree.map(
             lambda p, u: (p - lr * u.astype(p.dtype)), params, updates)
         if pspec is not None:
-            # ZeRO-1 (not ZeRO-3): params come OUT replicated over
-            # 'data' -- the weight-delta all-gather happens here, once,
-            # instead of GSPMD propagating the sharded layout into the
-            # next step's forward pass (per-use weight all-gathers)
-            new_params = jax.lax.with_sharding_constraint(new_params, pspec)
+            # ZeRO-1: params come OUT replicated over 'data' -- the
+            # weight-delta all-gather happens here, once, instead of
+            # GSPMD propagating the sharded layout into the next step's
+            # forward pass. ZeRO-3 (zero_stage>=3) keeps the params
+            # SHARDED over 'data' (1/data_par per chip, FSDP): the
+            # all-gather moves to each weight's point of use in the next
+            # forward/backward, trading one collective per step for
+            # per-chip param memory.
+            new_params = jax.lax.with_sharding_constraint(
+                new_params, zspec if zero3 else pspec)
 
         if safe_nan:
             ok = jnp.isfinite(loss) & jnp.isfinite(gnorm) \
