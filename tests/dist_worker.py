@@ -9,6 +9,9 @@ task with 8-way global data parallelism across 2 hosts.
 mode "batch" (default): fixed-size batches, no eval.
 mode "token": token bucketing (the deterministic shared shape schedule)
     with in-training primary-host eval + sampling.
+mode "zero1": token mode + zero_stage=1 + EMA -- optimizer state shards
+    over 'data' across the hosts, exercising the collective
+    host_fetchable path for checkpoint saves and eval weight fetches.
 max_steps: override max_training_steps (resume tests run the worker
     twice with increasing values).
 """
@@ -47,6 +50,13 @@ def main():
 
     p.model_name = "transformer"
     p.scope_name = "transformer"
+    if mode == "zero1":
+        # ZeRO-1 moments/EMA shard over 'data' ACROSS the two hosts, so
+        # every checkpoint fetch and primary-host eval weight fetch must
+        # go through the collective dist.host_fetchable path
+        p.zero_stage = 1
+        p.ema_decay = 0.999
+        mode = "token"
     p.hidden_size = 32
     p.embed_size = 32
     p.filter_size = 64

@@ -93,3 +93,26 @@ def test_two_process_save_restart_resume(tmp_path):
     # the resumed run restored the step-12 checkpoint, not a fresh init
     for out in outs:
         assert "Restoring" in out, out[-2000:]
+
+
+def test_two_process_zero1_save_eval_resume(tmp_path):
+    """ZeRO-1 moments/EMA span both hosts, so checkpoint saves and the
+    primary-host eval weight fetch must all-gather COLLECTIVELY
+    (dist.host_fetchable) -- a primary-only jax.device_get on the
+    cross-host-sharded state raises. Save -> restart -> resume proves
+    the sharded state also round-trips through npz + re-device_put."""
+    _mk_corpus(tmp_path)
+    _run_workers(tmp_path, "zero1", 16)
+    record = json.load(open(tmp_path / "out" / "record.json"))
+    assert record["step"] >= 16
+    # primary-host eval with the ZeRO-sharded EMA really ran
+    assert len(record["valid_script_scores"]) >= 1
+
+    outs = _run_workers(tmp_path, "zero1", 24)
+    for out in outs:
+        assert "resumed_from=16" in out, out[-2000:]
+    record = json.load(open(tmp_path / "out" / "record.json"))
+    assert record["step"] == 24
+    # the resumed run restored the saved checkpoint, not a fresh init
+    for out in outs:
+        assert "Restoring" in out, out[-2000:]

@@ -49,6 +49,29 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
+def host_fetchable(tree):
+    """Make every array leaf of ``tree`` safe to fetch on THIS host.
+
+    Single-process: returns the tree unchanged (no copies). Multi-process:
+    leaves that are not fully addressable -- cross-host-sharded state such
+    as ZeRO-1 moments/EMA or ZeRO-3 params spanning the 'data' axis over
+    hosts -- are all-gathered to every host as numpy arrays; fully
+    replicated / host-local leaves pass through. COLLECTIVE: when
+    process_count() > 1 every process must call this at the same program
+    point, even if only the primary consumes the result (checkpoint
+    writes, primary-host eval) -- a primary-only call deadlocks.
+    """
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    def fetch(leaf):
+        if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+            return multihost_utils.process_allgather(leaf, tiled=True)
+        return leaf
+    return jax.tree.map(fetch, tree)
+
+
 def put_global_batch(batch, mesh, batch_axis: int = 0):
     """Host-local feature dict -> global sharded arrays.
 

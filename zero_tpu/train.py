@@ -169,8 +169,13 @@ def _pad_group_batch(batch, host_group):
 
 
 def _local_weights(weights):
-    """Materialize fully-replicated global params on this host."""
-    return jax.tree.map(lambda x: np.asarray(x), weights)
+    """Materialize global params on this host as numpy leaves so the
+    primary's local decode jit can re-place them: replicated leaves fetch
+    directly; cross-host-sharded leaves (ZeRO-1 EMA, ZeRO-3 params) are
+    all-gathered first. COLLECTIVE under multi-host (dist.host_fetchable)
+    -- call from ALL processes, outside any is_primary() guard."""
+    return jax.tree.map(lambda x: np.asarray(x),
+                        dist.host_fetchable(weights))
 
 
 def _dev_eval(params, decode, weights, dev_dataset, out_prefix: str):
@@ -417,29 +422,36 @@ def _train(params, preempted) -> bool:
             if preempted["flag"]:
                 log.warning("SIGTERM received: checkpointing at step %d "
                             "and exiting for preemption", step)
+                # the fetch is collective (ZeRO state spans hosts); only
+                # the primary writes
+                trees = dist.host_fetchable(
+                    {"params": state.params, "opt": state.opt_state,
+                     "ema": state.ema})
                 if dist.is_primary():
-                    saver.save({"params": state.params,
-                                "opt": state.opt_state,
-                                "ema": state.ema}, step)
+                    saver.save(trees, step)
                     recorder.save_to_json(
                         os.path.join(params.output_dir, "record.json"))
                 should_stop = True
                 break
 
-            if params.save_freq > 0 and step % params.save_freq == 0 \
-                    and dist.is_primary():
-                saver.save({"params": state.params, "opt": state.opt_state,
-                            "ema": state.ema}, step)
-                recorder.save_to_json(
-                    os.path.join(params.output_dir, "record.json"))
+            if params.save_freq > 0 and step % params.save_freq == 0:
+                trees = dist.host_fetchable(
+                    {"params": state.params, "opt": state.opt_state,
+                     "ema": state.ema})
+                if dist.is_primary():
+                    saver.save(trees, step)
+                    recorder.save_to_json(
+                        os.path.join(params.output_dir, "record.json"))
 
             if params.sample_freq > 0 and step % params.sample_freq == 0:
                 if nproc == 1:
                     _sample_decode(params, decode,
                                    _eval_weights(params, state), batch)
-                elif eval_on_primary and dist.is_primary():
-                    _sample_decode(params, decode, _local_weights(
-                        _eval_weights(params, state)), batch)
+                elif eval_on_primary:
+                    # collective weight fetch on ALL hosts; primary decodes
+                    w = _local_weights(_eval_weights(params, state))
+                    if dist.is_primary():
+                        _sample_decode(params, decode, w, batch)
                 # keep the pause out of tokens/s (drop the window's tokens)
                 window_start = time.time()
                 window_tokens = 0
@@ -456,12 +468,12 @@ def _train(params, preempted) -> bool:
                     # the same lr/early-stop decision (main.py:356-404 runs
                     # mid-training eval, and so does the multi-host rebuild)
                     from jax.experimental import multihost_utils
+                    # collective weight fetch on ALL hosts; primary decodes
+                    w = _local_weights(_eval_weights(params, state))
                     bleu = 0.0
                     if dist.is_primary():
                         bleu, _ = _dev_eval(
-                            params, decode,
-                            _local_weights(_eval_weights(params, state)),
-                            dev_dataset,
+                            params, decode, w, dev_dataset,
                             os.path.join(params.output_dir, "trans.txt"))
                     bleu = float(multihost_utils.broadcast_one_to_all(
                         np.float32(bleu)))
@@ -469,10 +481,11 @@ def _train(params, preempted) -> bool:
                          max(saver.best_score, bleu))
                 stop_now = record_eval_score(recorder, step, float(bleu),
                                              params.estop_patience)
+                trees = dist.host_fetchable(
+                    {"params": state.params, "opt": state.opt_state,
+                     "ema": state.ema})
                 if dist.is_primary():
-                    saver.save({"params": state.params,
-                                "opt": state.opt_state,
-                                "ema": state.ema}, step, bleu)
+                    saver.save(trees, step, bleu)
                     recorder.save_to_json(
                         os.path.join(params.output_dir, "record.json"))
                 adapt_lr.after_eval(float(bleu))
@@ -500,9 +513,10 @@ def _train(params, preempted) -> bool:
 
     # final save + eval (main.py:441-466)
     step = int(state.step)
+    trees = dist.host_fetchable(
+        {"params": state.params, "opt": state.opt_state, "ema": state.ema})
     if dist.is_primary():
-        saver.save({"params": state.params, "opt": state.opt_state,
-                    "ema": state.ema}, step)
+        saver.save(trees, step)
         recorder.save_to_json(os.path.join(params.output_dir, "record.json"))
     if preempted["flag"]:
         pass    # exit inside the grace window; skip the final dev eval
@@ -511,16 +525,14 @@ def _train(params, preempted) -> bool:
                             dev_dataset,
                             os.path.join(params.output_dir, "trans.txt"))
         log.info("Final BLEU %.4f at step %d", bleu, step)
-        saver.save({"params": state.params, "opt": state.opt_state,
-                    "ema": state.ema}, step, bleu)
-    elif params.src_dev_file and eval_on_primary and dist.is_primary():
-        bleu, _ = _dev_eval(params, decode,
-                            _local_weights(_eval_weights(params, state)),
-                            dev_dataset,
-                            os.path.join(params.output_dir, "trans.txt"))
-        log.info("Final BLEU %.4f at step %d", bleu, step)
-        saver.save({"params": state.params, "opt": state.opt_state,
-                    "ema": state.ema}, step, bleu)
+        saver.save(trees, step, bleu)
+    elif params.src_dev_file and eval_on_primary:
+        w = _local_weights(_eval_weights(params, state))
+        if dist.is_primary():
+            bleu, _ = _dev_eval(params, decode, w, dev_dataset,
+                                os.path.join(params.output_dir, "trans.txt"))
+            log.info("Final BLEU %.4f at step %d", bleu, step)
+            saver.save(trees, step, bleu)
     saver.wait()
     log.info("Training finished at step %d", step)
     return True
