@@ -1,7 +1,7 @@
 """A/B the q-blocked fused kernel vs the streaming kernel (with causal
 block skipping) on CAUSAL shapes, to pick the kernels_supported routing.
 
-Run from repo root: python _abl_causal_route.py
+Run from repo root: python scripts/ablations/ab_causal_route.py
 """
 import time
 

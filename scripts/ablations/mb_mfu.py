@@ -1,6 +1,6 @@
 """Ablation bench: isolate remaining non-matmul step costs on the chip.
 
-Run from repo root: python _abl_mfu.py <variant> (one variant per process
+Run from repo root: python scripts/ablations/mb_mfu.py <variant> (one variant per process
 so OOMs/compiles don't interact).
 """
 import sys
