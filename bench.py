@@ -480,6 +480,15 @@ def main():
         except Exception as e:  # record, keep benching the rest
             details["configs"][name] = {"error": "%s: %s" % (
                 type(e).__name__, e)}
+        finally:
+            # drop this config's executables + their HBM constants before
+            # the next one: with ~17 configs in one process the retained
+            # compiled programs OOMed the last few (RESOURCE_EXHAUSTED on
+            # moe/rela/l0drop, r3). The persistent disk cache keeps
+            # recompiles cheap.
+            import gc
+            jax.clear_caches()
+            gc.collect()
 
     rows, L = (8, 16) if SMOKE else (256, 128)
     # 1. headline: transformer-base train throughput at a realistic
@@ -612,7 +621,8 @@ def main():
                         if kk in ("tokens_per_sec_per_chip", "mfu_median",
                                   "sentences_per_sec",
                                   "frames_per_sec_per_chip", "error",
-                                  "skipped")}
+                                  "skipped", "b128_over_b32",
+                                  "non_decreasing_vs_b32")}
                     for k, v in details["configs"].items()},
     }
     print(json.dumps(line))
