@@ -78,27 +78,55 @@ def transformer_train_flops(cfg, rows, src_len, tgt_len):
 
 def _measure_windows(run_window, work_per_window, flops_per_work, peak):
     """Time N_WINDOWS calls; drop windows whose implied FLOP/s exceeds the
-    roofline (tunnel artifacts). Returns (dict, valid) with work/s stats."""
+    roofline (tunnel artifacts). Returns (dict, valid) with work/s stats.
+
+    Variance guard (VERDICT r3 weak #5: a 2.3x window collapse slipped
+    through silently): any window >1.5x off the median is flagged loudly
+    and up to 2 extra windows are measured so the median rests on more
+    evidence; ALL windows stay in the record."""
     windows = []
     for _ in range(N_WINDOWS):
         t0 = time.perf_counter()
         run_window()
         windows.append(time.perf_counter() - t0)
-    rates = [work_per_window / dt for dt in windows]
-    valid, dropped = [], []
-    for r in rates:
-        implied = r * (flops_per_work or 0.0)
-        if peak is not None and flops_per_work and implied > peak:
-            dropped.append(r)
-        else:
-            valid.append(r)
+
+    def rates_of(ws):
+        return [work_per_window / dt for dt in ws]
+
+    def split(rates):
+        valid, dropped = [], []
+        for r in rates:
+            implied = r * (flops_per_work or 0.0)
+            if peak is not None and flops_per_work and implied > peak:
+                dropped.append(r)
+            else:
+                valid.append(r)
+        return valid, dropped
+
+    def outliers(valid):
+        if len(valid) < 2:
+            return []
+        med = statistics.median(valid)
+        return [r for r in valid if r > 1.5 * med or r < med / 1.5]
+
+    valid, dropped = split(rates_of(windows))
+    extra = 0
+    while valid and outliers(valid) and extra < 2:
+        extra += 1
+        t0 = time.perf_counter()
+        run_window()
+        windows.append(time.perf_counter() - t0)
+        valid, dropped = split(rates_of(windows))
+
     out = {
-        "windows_work_per_sec": [round(r, 1) for r in rates],
+        "windows_work_per_sec": [round(r, 1) for r in rates_of(windows)],
         "dropped_above_roofline": [round(r, 1) for r in dropped],
     }
     if not valid:
-        out["error"] = "all %d windows above the roofline" % len(rates)
+        out["error"] = "all %d windows above the roofline" % len(windows)
         return out, None
+    if outliers(valid):
+        out["window_variance_flag"] = [round(r, 1) for r in outliers(valid)]
     med = statistics.median(valid)
     out["median_work_per_sec"] = round(med, 1)
     out["best_work_per_sec"] = round(max(valid), 1)
@@ -434,19 +462,85 @@ def bench_afs_speech():
     return out
 
 
-def main():
-    # Backend-init watchdog: with the axon tunnel down, the first device
-    # query blocks indefinitely inside PJRT init -- a hang the driver
-    # cannot distinguish from a long bench. Emit a structured error
-    # line instead (SIGALRM fires only if jax.devices() never returns).
+def _config_registry():
+    """name -> zero-arg callable, in run order. Comments give the
+    BASELINE.json / reference-docs provenance of each config."""
+    from __graft_entry__ import _base_config
+
+    rows, L = (8, 16) if SMOKE else (256, 128)
+    reg = {}
+    # 1. headline: transformer-base train throughput at a realistic
+    #    WMT-scale step (BASELINE.json config 1)
+    reg["transformer_base_train"] = \
+        lambda: bench_train(_base_config(), rows=rows, src_len=L,
+                            tgt_len=L, vocab_hi=30000)
+    # 2. beam-4 decode (BASELINE.json north-star second metric)
+    reg["transformer_base_decode_beam4"] = \
+        lambda: bench_decode("transformer", batch_rows=4 if SMOKE else 32,
+                             src_len=8 if SMOKE else 32)
+    # 3. AAN O(1)-cache decode (reference README.md:32 headline claim)
+    reg["transformer_aan_decode_beam4"] = \
+        lambda: bench_decode("transformer_aan",
+                             batch_rows=4 if SMOKE else 32,
+                             src_len=8 if SMOKE else 32)
+    if SMOKE:
+        return reg
+    # 3b. serving-batch decode scaling: sentences/s must be
+    #     monotonically non-decreasing in batch rows (VERDICT r2 #1)
+    for b in (64, 128, 256, 1):
+        reg["transformer_base_decode_beam4_b%d" % b] = \
+            (lambda b=b: bench_decode("transformer", batch_rows=b,
+                                      src_len=32))
+    # 3c. ReLA sparse-attention decode (reference publishes speed
+    #     ratios vs softmax: docs/rela_sparse_attention/README.md)
+    reg["transformer_rela_decode_beam4"] = \
+        lambda: bench_decode("transformer_rela", batch_rows=32, src_len=32)
+    # 4. deep 20L/30L fuse + depth-scaled init (BASELINE config 4;
+    #    30L = the reference's deepest published stack)
+    reg["deep20_fuse_train"] = bench_deep
+    reg["deep30_fuse_train"] = \
+        lambda: bench_deep(num_encoder_layer=30, scan_layers=True)
+    # 5. AFS speech translation preset (BASELINE.json config 5)
+    reg["afs_speech_train"] = bench_afs_speech
+    # 6. BASELINE config 3: RPR train (completes 5/5 configs)
+    reg["transformer_rpr_train"] = bench_rpr
+    # 7. transformer-big (d=1024): reference headline WMT14 config
+    reg["transformer_big_train"] = bench_big
+    # 8. MoE (Switch top-1, 8 experts): r3 expert-parallel extension,
+    #    single-chip dispatch-overhead measurement
+    reg["transformer_moe_train"] = bench_moe
+    # 9. ReLA train ratio vs softmax (reference publishes 0.93x,
+    #    docs/rela_sparse_attention/README.md:100)
+    reg["transformer_rela_train"] = \
+        lambda: bench_train(_rela_config(), rows=rows, src_len=L,
+                            tgt_len=L, vocab_hi=30000)
+    # 10. L0Drop compacted decode speedup at a long-source shape
+    #     (reference publishes 1.20x char-MT / 1.65x doc-sum decode
+    #     speedups from dropping encoder outputs,
+    #     docs/l0drop/README.md:29-30). Static-k compaction at 50%
+    #     vs the uncompacted gated path isolates the mechanical win.
+    reg["l0drop_decode_full_L128"] = \
+        lambda: bench_decode("transformer_l0drop", batch_rows=32,
+                             src_len=128,
+                             cfg_overrides={"l0_compact_ratio": 0.0})
+    reg["l0drop_decode_compact50_L128"] = \
+        lambda: bench_decode("transformer_l0drop", batch_rows=32,
+                             src_len=128,
+                             cfg_overrides={"l0_compact_ratio": 0.5})
+    return reg
+
+
+def _run_child(name: str) -> None:
+    """Child mode: run ONE config in this (fresh) process and print its
+    result dict as the last stdout line. A fresh process per config is
+    the fix for BENCH_r03's RESOURCE_EXHAUSTED deaths: jax.clear_caches()
+    between configs demonstrably did not reclaim enough chip state, so
+    late configs inherited a degraded TPU client."""
     import signal
 
     def _init_timeout(signum, frame):
-        print(json.dumps({
-            "metric": "train_tokens_per_sec_per_chip", "value": 0,
-            "unit": "tokens/s/chip", "vs_baseline": 0,
-            "error": "TPU backend init timed out after 300 s "
-                     "(axon tunnel down?)"}))
+        print(json.dumps({"error": "TPU backend init timed out after "
+                                   "300 s (axon tunnel down?)"}))
         os._exit(0)
 
     signal.signal(signal.SIGALRM, _init_timeout)
@@ -463,150 +557,116 @@ def main():
         # hardware PRNG, same policy as run.py:setup_prng
         jax.config.update("jax_default_prng_impl", "rbg")
 
-    from __graft_entry__ import _base_config
+    try:
+        result = _config_registry()[name]()
+    except Exception as e:
+        result = {"error": "%s: %s" % (type(e).__name__, e)}
+    result.setdefault("device", str(jax.devices()[0]))
+    result.setdefault("device_kind",
+                      getattr(jax.devices()[0], "device_kind", "?"))
+    result.setdefault("peak_flops", device_peak_flops())
+    print(json.dumps(result))
+
+
+# generous per-config watchdog: deep-30L compiles ~4 min on the tunnel
+CHILD_TIMEOUT_S = 240.0 if SMOKE else 1200.0
+
+
+def _spawn_config(name: str) -> dict:
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--config", name],
+            capture_output=True, text=True, timeout=CHILD_TIMEOUT_S,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        return {"error": "config timed out after %.0f s (child killed; "
+                         "the chip gets a fresh client next config)"
+                         % CHILD_TIMEOUT_S}
+    last = [ln for ln in r.stdout.splitlines()
+            if ln.startswith("{") and ln.endswith("}")]
+    if r.returncode != 0 or not last:
+        return {"error": "child rc=%d: %s" % (
+            r.returncode, (r.stderr or r.stdout)[-1500:])}
+    return json.loads(last[-1])
+
+
+def main():
+    # Parent/child split: the parent NEVER initializes a TPU client; each
+    # config runs in its own child process with a clean backend, a
+    # watchdog, and the shared persistent XLA compile cache.
+    import sys
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--config":
+        _run_child(sys.argv[2])
+        return
 
     started = time.perf_counter()
-    details = {"device": str(jax.devices()[0]),
-               "device_kind": getattr(jax.devices()[0], "device_kind", "?"),
-               "peak_flops": device_peak_flops(),
-               "configs": {}}
+    details = {"configs": {}, "isolation": "one fresh process per config"}
 
-    def run(name, fn):
+    for name in _config_registry():
         if time.perf_counter() - started > TIME_BUDGET_S:
             details["configs"][name] = {"skipped": "time budget exhausted"}
-            return
-        try:
-            details["configs"][name] = fn()
-        except Exception as e:  # record, keep benching the rest
-            details["configs"][name] = {"error": "%s: %s" % (
-                type(e).__name__, e)}
-        finally:
-            # drop this config's executables + their HBM constants before
-            # the next one: with ~17 configs in one process the retained
-            # compiled programs OOMed the last few (RESOURCE_EXHAUSTED on
-            # moe/rela/l0drop, r3). The persistent disk cache keeps
-            # recompiles cheap.
-            import gc
-            jax.clear_caches()
-            gc.collect()
+            continue
+        result = _spawn_config(name)
+        for key in ("device", "device_kind", "peak_flops"):
+            if key in result:
+                details.setdefault(key, result.pop(key))
+        details["configs"][name] = result
 
-    rows, L = (8, 16) if SMOKE else (256, 128)
-    # 1. headline: transformer-base train throughput at a realistic
-    #    WMT-scale step (BASELINE.json config 1)
-    run("transformer_base_train",
-        lambda: bench_train(_base_config(), rows=rows, src_len=L,
-                            tgt_len=L, vocab_hi=30000))
-    # 2. beam-4 decode (BASELINE.json north-star second metric)
-    run("transformer_base_decode_beam4",
-        lambda: bench_decode("transformer",
-                             batch_rows=4 if SMOKE else 32,
-                             src_len=8 if SMOKE else 32))
-    # 3. AAN O(1)-cache decode (reference README.md:32 headline claim)
-    run("transformer_aan_decode_beam4",
-        lambda: bench_decode("transformer_aan",
-                             batch_rows=4 if SMOKE else 32,
-                             src_len=8 if SMOKE else 32))
-    if not SMOKE:
-        # 3b. serving-batch decode scaling: sentences/s must be
-        #     monotonically non-decreasing in batch rows (VERDICT r2 #1)
-        run("transformer_base_decode_beam4_b64",
-            lambda: bench_decode("transformer", batch_rows=64, src_len=32))
-        run("transformer_base_decode_beam4_b128",
-            lambda: bench_decode("transformer", batch_rows=128, src_len=32))
-        run("transformer_base_decode_beam4_b256",
-            lambda: bench_decode("transformer", batch_rows=256, src_len=32))
-        # single-sentence serving latency (sentences/s at B=1 == 1/latency)
-        run("transformer_base_decode_beam4_b1",
-            lambda: bench_decode("transformer", batch_rows=1, src_len=32))
-        b1 = details["configs"].get("transformer_base_decode_beam4_b1", {})
-        if b1.get("sentences_per_sec"):
-            b1["latency_ms_per_sentence"] = round(
-                1000.0 / b1["sentences_per_sec"], 1)
-        curve = {}
-        for rows, key in ((32, "transformer_base_decode_beam4"),
-                          (64, "transformer_base_decode_beam4_b64"),
-                          (128, "transformer_base_decode_beam4_b128"),
-                          (256, "transformer_base_decode_beam4_b256")):
-            sps = details["configs"].get(key, {}).get("sentences_per_sec")
-            if sps:
-                curve["b%d" % rows] = sps
-        # criterion: larger serving batches must not LOSE absolute
-        # throughput vs B=32 (r2 regressed to 0.88x; the residual slope
-        # past B=64 is the pool kernel's marginal cost -- root cause and
-        # route A/B in docs/kernels.md "Serving-batch scaling")
-        ratio = (round(curve["b128"] / curve["b32"], 3)
-                 if "b128" in curve and "b32" in curve else None)
-        details["configs"]["decode_scaling"] = dict(
-            curve, b128_over_b32=ratio,
-            # the r2 regression criterion: larger serving batches never
-            # LOSE absolute sentences/s vs B=32
+    cfgs = details["configs"]
+
+    def sps(name):
+        return cfgs.get(name, {}).get("sentences_per_sec")
+
+    # derived: serving latency, decode-scaling curve, speed ratios
+    if sps("transformer_base_decode_beam4_b1"):
+        cfgs["transformer_base_decode_beam4_b1"][
+            "latency_ms_per_sentence"] = round(
+            1000.0 / sps("transformer_base_decode_beam4_b1"), 1)
+    curve = {}
+    for b, key in ((32, "transformer_base_decode_beam4"),
+                   (64, "transformer_base_decode_beam4_b64"),
+                   (128, "transformer_base_decode_beam4_b128"),
+                   (256, "transformer_base_decode_beam4_b256")):
+        if sps(key):
+            curve["b%d" % b] = sps(key)
+    if curve:
+        # the r2 regression criterion: larger serving batches never LOSE
+        # absolute sentences/s vs B=32
+        cfgs["decode_scaling"] = dict(
+            curve,
+            b128_over_b32=(round(curve["b128"] / curve["b32"], 3)
+                           if "b128" in curve and "b32" in curve else None),
             non_decreasing_vs_b32=(
                 all(v >= curve["b32"] for v in curve.values())
                 if "b32" in curve else None))
-        # 3c. ReLA sparse-attention decode (reference publishes speed
-        #     ratios vs softmax: docs/rela_sparse_attention/README.md)
-        run("transformer_rela_decode_beam4",
-            lambda: bench_decode("transformer_rela",
-                                 batch_rows=32, src_len=32))
-        base_sps = details["configs"].get(
-            "transformer_base_decode_beam4", {}).get("sentences_per_sec")
-        rela_sps = details["configs"].get(
-            "transformer_rela_decode_beam4", {}).get("sentences_per_sec")
-        if base_sps and rela_sps:
-            details["configs"]["transformer_rela_decode_beam4"][
-                "speed_vs_softmax"] = round(rela_sps / base_sps, 3)
-        # 4. deep 20L/30L fuse + depth-scaled init (BASELINE config 4;
-        #    30L = the reference's deepest published stack)
-        run("deep20_fuse_train", bench_deep)
-        run("deep30_fuse_train",
-            lambda: bench_deep(num_encoder_layer=30, scan_layers=True))
-        # 5. AFS speech translation preset (BASELINE.json config 5)
-        run("afs_speech_train", bench_afs_speech)
-        # 6. BASELINE config 3: RPR train (completes 5/5 configs)
-        run("transformer_rpr_train", bench_rpr)
-        # 7. transformer-big (d=1024): reference headline WMT14 config
-        run("transformer_big_train", bench_big)
-        # 8. MoE (Switch top-1, 8 experts): r3 expert-parallel extension,
-        #    single-chip dispatch-overhead measurement
-        run("transformer_moe_train", bench_moe)
-        # 9. ReLA train ratio vs softmax (reference publishes 0.93x,
-        #    docs/rela_sparse_attention/README.md:100)
-        run("transformer_rela_train",
-            lambda: bench_train(_rela_config(), rows=rows, src_len=L,
-                                tgt_len=L, vocab_hi=30000))
-        base_tps = details["configs"].get(
-            "transformer_base_train", {}).get("median_work_per_sec")
-        rela_tps = details["configs"].get(
-            "transformer_rela_train", {}).get("median_work_per_sec")
-        if base_tps and rela_tps:
-            details["configs"]["transformer_rela_train"][
-                "speed_vs_softmax"] = round(rela_tps / base_tps, 3)
-        # 10. L0Drop compacted decode speedup at a long-source shape
-        #     (reference publishes 1.20x char-MT / 1.65x doc-sum decode
-        #     speedups from dropping encoder outputs,
-        #     docs/l0drop/README.md:29-30). Static-k compaction at 50%
-        #     vs the uncompacted gated path isolates the mechanical win.
-        run("l0drop_decode_full_L128",
-            lambda: bench_decode("transformer_l0drop", batch_rows=32,
-                                 src_len=128,
-                                 cfg_overrides={"l0_compact_ratio": 0.0}))
-        run("l0drop_decode_compact50_L128",
-            lambda: bench_decode("transformer_l0drop", batch_rows=32,
-                                 src_len=128,
-                                 cfg_overrides={"l0_compact_ratio": 0.5}))
-        full = details["configs"].get(
-            "l0drop_decode_full_L128", {}).get("sentences_per_sec")
-        comp = details["configs"].get(
-            "l0drop_decode_compact50_L128", {}).get("sentences_per_sec")
-        if full and comp:
-            details["configs"]["l0drop_decode_compact50_L128"][
-                "speedup_vs_uncompacted"] = round(comp / full, 3)
+    if sps("transformer_rela_decode_beam4") and \
+            sps("transformer_base_decode_beam4"):
+        cfgs["transformer_rela_decode_beam4"]["speed_vs_softmax"] = round(
+            sps("transformer_rela_decode_beam4")
+            / sps("transformer_base_decode_beam4"), 3)
+    base_tps = cfgs.get("transformer_base_train",
+                        {}).get("median_work_per_sec")
+    rela_tps = cfgs.get("transformer_rela_train",
+                        {}).get("median_work_per_sec")
+    if base_tps and rela_tps:
+        cfgs["transformer_rela_train"]["speed_vs_softmax"] = round(
+            rela_tps / base_tps, 3)
+    if sps("l0drop_decode_full_L128") and \
+            sps("l0drop_decode_compact50_L128"):
+        cfgs["l0drop_decode_compact50_L128"][
+            "speedup_vs_uncompacted"] = round(
+            sps("l0drop_decode_compact50_L128")
+            / sps("l0drop_decode_full_L128"), 3)
 
     details["total_bench_s"] = round(time.perf_counter() - started, 1)
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=1)
 
-    base = details["configs"].get("transformer_base_train", {})
+    base = cfgs.get("transformer_base_train", {})
     per_chip = base.get("tokens_per_sec_per_chip")
     line = {
         "metric": "train_tokens_per_sec_per_chip",
@@ -615,15 +675,16 @@ def main():
         "vs_baseline": (round(per_chip / BASELINE_TOKENS_PER_SEC, 3)
                         if per_chip else None),
         "mfu": base.get("mfu_median"),
-        "decode_beam4_sentences_per_sec": details["configs"].get(
-            "transformer_base_decode_beam4", {}).get("sentences_per_sec"),
+        "decode_beam4_sentences_per_sec": sps(
+            "transformer_base_decode_beam4"),
         "configs": {k: {kk: vv for kk, vv in v.items()
                         if kk in ("tokens_per_sec_per_chip", "mfu_median",
                                   "sentences_per_sec",
                                   "frames_per_sec_per_chip", "error",
                                   "skipped", "b128_over_b32",
-                                  "non_decreasing_vs_b32")}
-                    for k, v in details["configs"].items()},
+                                  "non_decreasing_vs_b32",
+                                  "window_variance_flag")}
+                    for k, v in cfgs.items()},
     }
     print(json.dumps(line))
 

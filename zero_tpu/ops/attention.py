@@ -121,7 +121,8 @@ def combine_heads(x: jax.Array) -> jax.Array:
 
 
 def _attn_core(q, k, v, keep_mask, num_heads, *, rng=None, drop=None,
-               rpr_tables=None, rpr_ids=None, relu=False, count_weights=None):
+               rpr_tables=None, rpr_ids=None, rpr_max=None, relu=False,
+               count_weights=None):
     """Shared attention math on [B, L, hidden] projections.
 
     keep_mask: broadcastable to [B, 1, Lq, Lk]; 1 = attend, 0 = block.
@@ -130,6 +131,13 @@ def _attn_core(q, k, v, keep_mask, num_heads, *, rng=None, drop=None,
     count_weights: [B, Lk] multiplies the exp-logits before normalisation
     (L0Drop count softmax). Returns ([B, Lq, hidden],
     weights [B, H, Lq, Lk]).
+
+    RPR: with ``rpr_max`` the relative terms run in the skew-matmul form
+    (one dense matmul vs the full-offset table + a pad/reshape skew,
+    ops/rpr.py) -- same math as the gathered-einsum form but without the
+    q-batched dot_generals that cost 10 MFU points at L=128 (BENCH_r03).
+    ``rpr_ids`` without ``rpr_max`` keeps the gathered form (callers with
+    precomputed non-standard distance matrices).
     """
     qh = split_heads(q, num_heads)
     kh = split_heads(k, num_heads)
@@ -137,7 +145,11 @@ def _attn_core(q, k, v, keep_mask, num_heads, *, rng=None, drop=None,
     dh = qh.shape[-1]
     qh = qh * (dh ** -0.5)
 
-    if rpr_tables is not None:
+    use_skew = rpr_tables is not None and rpr_max is not None
+    if use_skew:
+        logits = rpr_mod.logits_with_rpr_skew(qh, kh, rpr_tables["keys"],
+                                              rpr_max)
+    elif rpr_tables is not None:
         r_k = rpr_mod.gather_embeddings(rpr_tables["keys"], rpr_ids)
         logits = rpr_mod.logits_with_rpr(qh, kh, r_k)
     else:
@@ -161,7 +173,10 @@ def _attn_core(q, k, v, keep_mask, num_heads, *, rng=None, drop=None,
 
     dweights = dropout(rng, weights, drop).astype(q.dtype)
 
-    if rpr_tables is not None:
+    if use_skew:
+        o = rpr_mod.output_with_rpr_skew(dweights, vh,
+                                         rpr_tables["values"], rpr_max)
+    elif rpr_tables is not None:
         r_v = rpr_mod.gather_embeddings(rpr_tables["values"], rpr_ids)
         o = rpr_mod.output_with_rpr(dweights, vh, r_v)
     else:
@@ -272,14 +287,9 @@ def attn_train(params, query, memory, keep_mask, num_heads, *,
         o = combine_heads(o.astype(q.dtype))
         weights = None
     else:
-        rpr_ids = None
-        if rpr_tables is not None:
-            rpr_ids = rpr_mod.relative_positions_matrix(
-                q.shape[1], k.shape[1], max_relative_position)
-
         o, weights = _attn_core(q, k, v, keep_mask, num_heads, rng=rng,
                                 drop=drop, rpr_tables=rpr_tables,
-                                rpr_ids=rpr_ids, relu=relu,
+                                rpr_max=max_relative_position, relu=relu,
                                 count_weights=count_weights)
 
     if relu and "post" in params:

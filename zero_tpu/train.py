@@ -108,8 +108,51 @@ def _batch_features(params, batch):
     return {"source": batch["src"], "target": batch["tgt"]}
 
 
-def make_decode_fn(params, model=None, inference=None):
-    """Jitted beam-search callable over dataset batch dicts."""
+def _pad_rows(source, mult: int):
+    """Pad every array leaf's axis 0 up to a multiple of ``mult`` with
+    zeros. All-pad rows are legal everywhere (shape-padding invariant);
+    returns (padded_source, original_rows)."""
+    leaves = jax.tree.leaves(source)
+    rows = int(leaves[0].shape[0])
+    target = -(-rows // mult) * mult
+    if target == rows:
+        return source, rows
+
+    def pad(x):
+        width = [(0, target - rows)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(np.asarray(x), width)
+    return jax.tree.map(pad, source), rows
+
+
+def _mesh_decode(run_fn, params, mesh):
+    """Wrap a jitted beam-search ``run_fn(weights, source)`` so its batch
+    rows are sharded over the mesh 'data' axis: multi-chip decode, the
+    counterpart of the reference's N-GPU eval round-robin
+    (evalu.py:66-92 + main.py:48-62 placeholder groups). Weights keep
+    whatever sharding they carry (replicated for DP, Megatron specs for
+    TP, 'data'-sharded for ZeRO-3) -- GSPMD partitions the whole search.
+    COLLECTIVE under multi-host (put_eval_batch/fetch_decode_output)."""
+    from zero_tpu.parallel import distributed as dist
+
+    data_par = int(mesh.shape["data"])
+
+    def decode(weights, batch):
+        source = _batch_source(params, batch)
+        source, rows = _pad_rows(source, data_par)
+        out = run_fn(weights, dist.put_eval_batch(source, mesh))
+        out = dist.fetch_decode_output(out)
+        return {k: (v[:rows] if getattr(v, "ndim", 0) > 0 else v)
+                for k, v in out.items()}
+    return decode
+
+
+def make_decode_fn(params, model=None, inference=None, mesh=None):
+    """Jitted beam-search callable over dataset batch dicts.
+
+    With ``mesh``, batch rows are sharded over the mesh 'data' axis and
+    the weights may be mesh-sharded (TP/ZeRO-3); without it, a plain
+    single-device jit over host-local weights.
+    """
     model = model or get_model(params.model_name)
     inference = inference or model.infer_fn(params)
 
@@ -121,8 +164,12 @@ def make_decode_fn(params, model=None, inference=None):
         def _run_ib(weights, source):
             return ib_beam_search(weights, source, inference, params)
 
+        raw_ib = (_mesh_decode(_run_ib, params, mesh) if mesh is not None
+                  else lambda weights, batch:
+                  _run_ib(weights, _batch_source(params, batch)))
+
         def decode_ib(weights, batch):
-            out = _run_ib(weights, _batch_source(params, batch))
+            out = raw_ib(weights, batch)
             z = np.asarray(out["seq"])
             b, k, z_len = z.shape
             y = np.zeros((b, k, z_len), np.int32)
@@ -136,6 +183,9 @@ def make_decode_fn(params, model=None, inference=None):
     @jax.jit
     def _run(weights, source):
         return beam_search(weights, source, inference, params)
+
+    if mesh is not None:
+        return _mesh_decode(_run, params, mesh)
 
     def decode(weights, batch):
         return _run(weights, _batch_source(params, batch))
@@ -226,28 +276,41 @@ def _train(params, preempted) -> bool:
     # old round-robin already relied on stream equality), takes one batch
     # of each consecutive group of nproc, and pads it to the group's max
     # shape -- a shared shape schedule with zero communication.
-    # In-training eval/sampling run on the primary host alone when the
-    # parameters are fully replicated (no sharding on ANY non-data axis:
-    # model/seq/pipe/expert sharding all leave params or the decode
-    # graph spanning non-addressable devices); the dev score is
-    # broadcast so lr schedules and early stop stay in sync.
-    param_axes = [a for a in mesh.axis_names if a != "data"]
-    params_sharded = any(int(mesh.shape[a]) > 1 for a in param_axes)
-    eval_on_primary = nproc > 1 and not params_sharded
-    if nproc > 1 and params_sharded \
+    # In-training dev eval decodes over the WHOLE mesh: the eval stream
+    # is identical on every host, so all processes feed their device
+    # shards of every batch and all-gather the outputs (collective;
+    # _mesh_decode) -- DP batch-sharding and TP/ZeRO weight sharding
+    # both ride it. Only seq/pipe/expert sharding still forces eval off
+    # under multi-host: the decode graph does not ride those axes.
+    restricted = any(int(mesh.shape[a]) > 1 for a in mesh.axis_names
+                     if a not in ("data", "model"))
+    if nproc > 1 and restricted \
             and (params.eval_freq > 0 or params.sample_freq > 0):
-        log.warning("multi-host with model/seq/pipe/expert parallelism: "
-                    "in-training eval/sampling disabled (params are not "
-                    "host-local); evaluate checkpoints with a "
-                    "single-host run")
+        log.warning("multi-host with seq/pipe/expert parallelism: "
+                    "in-training eval/sampling disabled (the decode graph "
+                    "does not ride those axes); evaluate checkpoints with "
+                    "a single-host run")
         params.eval_freq = 0
+        params.sample_freq = 0
+    # sampling decodes each host's OWN last batch (host-local content, so
+    # it cannot ride the collective mesh decode): the primary fetches the
+    # weights (collective) and decodes locally -- which needs the params
+    # replicated, so TP disables sampling under multi-host
+    sample_on_primary = nproc > 1 and int(mesh.shape.get("model", 1)) == 1
+    if nproc > 1 and int(mesh.shape.get("model", 1)) > 1 \
+            and params.sample_freq > 0:
+        log.warning("multi-host with tensor parallelism: in-training "
+                    "sampling disabled (sample batches are host-local); "
+                    "dev eval itself stays on via the collective mesh "
+                    "decode")
         params.sample_freq = 0
 
     train_dataset = _make_dataset(params, params.src_train_file,
                                   params.tgt_train_file, train=True,
                                   data_par=max(data_par // max(nproc, 1), 1))
     dev_dataset = _make_dataset(params, params.src_dev_file,
-                                params.tgt_dev_file, train=False)
+                                params.tgt_dev_file, train=False,
+                                data_par=data_par)
 
     # model + optimizer state (sharded over the mesh)
     rng = jax.random.PRNGKey(params.random_seed)
@@ -265,7 +328,12 @@ def _train(params, preempted) -> bool:
              int(getattr(params, "zero_stage", 0)))
 
     step_fn = make_train_step(model, params, mesh)
-    decode = make_decode_fn(params, model)
+    # batch rows shard over the mesh 'data' axis; weights keep their mesh
+    # shardings (replicated / TP / ZeRO) -- every chip decodes
+    decode = make_decode_fn(params, model, mesh=mesh)
+    # plain host-local jit for multi-host primary sampling only
+    decode_local = make_decode_fn(params, model) if sample_on_primary \
+        else None
 
     saver = Saver(checkpoints=params.checkpoints,
                   output_dir=params.output_dir,
@@ -447,36 +515,29 @@ def _train(params, preempted) -> bool:
                 if nproc == 1:
                     _sample_decode(params, decode,
                                    _eval_weights(params, state), batch)
-                elif eval_on_primary:
+                elif sample_on_primary:
                     # collective weight fetch on ALL hosts; primary decodes
+                    # its own last batch with the host-local jit
                     w = _local_weights(_eval_weights(params, state))
                     if dist.is_primary():
-                        _sample_decode(params, decode, w, batch)
+                        _sample_decode(params, decode_local, w, batch)
                 # keep the pause out of tokens/s (drop the window's tokens)
                 window_start = time.time()
                 window_tokens = 0
 
             if params.eval_freq > 0 and step % params.eval_freq == 0:
-                if nproc == 1:
-                    bleu, _ = _dev_eval(
-                        params, decode, _eval_weights(params, state),
-                        dev_dataset,
-                        os.path.join(params.output_dir, "trans.txt"))
-                else:
-                    # primary host decodes with its replicated copy of the
-                    # weights; the score is broadcast so every host applies
-                    # the same lr/early-stop decision (main.py:356-404 runs
-                    # mid-training eval, and so does the multi-host rebuild)
-                    from jax.experimental import multihost_utils
-                    # collective weight fetch on ALL hosts; primary decodes
-                    w = _local_weights(_eval_weights(params, state))
-                    bleu = 0.0
-                    if dist.is_primary():
-                        bleu, _ = _dev_eval(
-                            params, decode, w, dev_dataset,
-                            os.path.join(params.output_dir, "trans.txt"))
-                    bleu = float(multihost_utils.broadcast_one_to_all(
-                        np.float32(bleu)))
+                # collective mesh decode: every host feeds its device
+                # shards of the (identical) dev stream and all-gathers the
+                # outputs, so every host computes the same translations
+                # and the same BLEU -- lr schedules and early stop stay in
+                # sync with no broadcast (main.py:356-404 runs mid-training
+                # eval; the reference's N-GPU eval becomes the 'data'-axis
+                # batch sharding inside _mesh_decode)
+                bleu, _ = _dev_eval(
+                    params, decode, _eval_weights(params, state),
+                    dev_dataset,
+                    os.path.join(params.output_dir, "trans.txt")
+                    if dist.is_primary() else "")
                 log.info("Step %d, BLEU %.4f, Best BLEU %.4f", step, bleu,
                          max(saver.best_score, bleu))
                 stop_now = record_eval_score(recorder, step, float(bleu),
@@ -520,18 +581,14 @@ def _train(params, preempted) -> bool:
         recorder.save_to_json(os.path.join(params.output_dir, "record.json"))
     if preempted["flag"]:
         pass    # exit inside the grace window; skip the final dev eval
-    elif params.src_dev_file and nproc == 1:
+    elif params.src_dev_file and not (nproc > 1 and restricted):
+        # collective mesh decode (see the in-training eval path)
         bleu, _ = _dev_eval(params, decode, _eval_weights(params, state),
                             dev_dataset,
-                            os.path.join(params.output_dir, "trans.txt"))
+                            os.path.join(params.output_dir, "trans.txt")
+                            if dist.is_primary() else "")
         log.info("Final BLEU %.4f at step %d", bleu, step)
-        saver.save(trees, step, bleu)
-    elif params.src_dev_file and eval_on_primary:
-        w = _local_weights(_eval_weights(params, state))
         if dist.is_primary():
-            bleu, _ = _dev_eval(params, decode, w, dev_dataset,
-                                os.path.join(params.output_dir, "trans.txt"))
-            log.info("Final BLEU %.4f at step %d", bleu, step)
             saver.save(trees, step, bleu)
     saver.wait()
     log.info("Training finished at step %d", step)
@@ -605,12 +662,39 @@ def _restore_eval_params(params, model):
     return restored["params"]
 
 
+def _eval_mesh(params):
+    """Mesh for the offline eval/score/ensemble modes: single-process
+    multi-chip runs shard eval batch rows over 'data' (and weights over
+    'model' when TP is configured); multi-process offline modes stay on
+    the host-local path (the reference's test mode is single-host too)."""
+    if dist.process_count() > 1 or len(jax.devices()) <= 1:
+        return None
+    try:
+        return make_mesh(params)
+    except ValueError as e:   # config sized for more chips than we have
+        log.warning("eval mesh unavailable (%s); decoding on one device", e)
+        return None
+
+
+def _place_eval_weights(weights, mesh):
+    """Host weights -> mesh placement under the TP param specs (replicated
+    when mesh_model == 1: every spec axis has degree 1)."""
+    from zero_tpu.parallel.mesh import param_sharding
+    return jax.device_put(
+        weights, param_sharding(weights, mesh, warn_unsharded=False))
+
+
 def evaluate(params) -> float:
     model = get_model(params.model_name)
     weights = _restore_eval_params(params, model)
-    decode = make_decode_fn(params, model)
+    mesh = _eval_mesh(params)
+    if mesh is not None:
+        weights = _place_eval_weights(weights, mesh)
+    decode = make_decode_fn(params, model, mesh=mesh)
     test_dataset = _make_dataset(params, params.src_test_file,
-                                 params.tgt_test_file, train=False)
+                                 params.tgt_test_file, train=False,
+                                 data_par=int(mesh.shape["data"])
+                                 if mesh is not None else 1)
     begin = time.time()
     translations, scores, indices = evalu.decoding(
         lambda batch: decode(weights, batch), test_dataset, params)
@@ -626,14 +710,25 @@ def scorer(params):
     model = get_model(params.model_name)
     weights = _restore_eval_params(params, model)
     score_step = make_score_step(model, params)
+    mesh = _eval_mesh(params)
+    if mesh is not None:
+        weights = _place_eval_weights(weights, mesh)
+        data_par = int(mesh.shape["data"])
 
-    def score_fn(batch):
-        feats = {k: jnp.asarray(v)
-                 for k, v in _batch_features(params, batch).items()}
-        return score_step(weights, feats)
+        def score_fn(batch):
+            feats, rows = _pad_rows(_batch_features(params, batch), data_par)
+            out = score_step(weights, dist.put_eval_batch(feats, mesh))
+            return np.asarray(out)[:rows]
+    else:
+        def score_fn(batch):
+            feats = {k: jnp.asarray(v)
+                     for k, v in _batch_features(params, batch).items()}
+            return score_step(weights, feats)
 
     test_dataset = _make_dataset(params, params.src_test_file,
-                                 params.tgt_test_file, train=False)
+                                 params.tgt_test_file, train=False,
+                                 data_par=int(mesh.shape["data"])
+                                 if mesh is not None else 1)
     scores, ppl = evalu.scoring(score_fn, test_dataset, params)
     log.info("Average per-sentence score: %.4f, corpus ppl: %.4f",
              float(np.mean(scores)), ppl)
@@ -702,10 +797,16 @@ def ensemble(all_params) -> float:
                for p, m in zip(all_params, models)]
     inferences = [m.infer_fn(p) for m, p in zip(models, all_params)]
     ens_inf = make_ensemble_inference(inferences)
-    decode = make_decode_fn(default, models[0], inference=ens_inf)
+    mesh = _eval_mesh(default)
+    if mesh is not None:
+        weights = [_place_eval_weights(w, mesh) for w in weights]
+    decode = make_decode_fn(default, models[0], inference=ens_inf,
+                            mesh=mesh)
 
     test_dataset = _make_dataset(default, default.src_test_file,
-                                 default.tgt_test_file, train=False)
+                                 default.tgt_test_file, train=False,
+                                 data_par=int(mesh.shape["data"])
+                                 if mesh is not None else 1)
     translations, scores, indices = evalu.decoding(
         lambda batch: decode(weights, batch), test_dataset, default)
     bleu = evalu.eval_metric(translations, default.tgt_test_file, indices)
