@@ -318,6 +318,11 @@ def bench_moe():
     cfg.moe_num_experts = 8
     cfg.moe_top_k = 1
     cfg.moe_capacity_factor = 1.25
+    # 8 experts x 12 layers of [E, d, f] stacks + their [E, B*C, f]
+    # hidden activations exceed the 16 GB chip at B=256 without remat
+    # (RESOURCE_EXHAUSTED in a FRESH process, r4 -- not the r3 cache
+    # inheritance); per-layer remat fits, same policy as transformer-big
+    cfg.use_remat = True
     rows, L = 256, 128
     return bench_train(cfg, rows, L, L, vocab_hi=30000,
                        flops_per_step=moe_train_flops(cfg, rows, L, L))

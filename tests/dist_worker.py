@@ -12,6 +12,10 @@ mode "token": token bucketing (the deterministic shared shape schedule)
 mode "zero1": token mode + zero_stage=1 + EMA -- optimizer state shards
     over 'data' across the hosts, exercising the collective
     host_fetchable path for checkpoint saves and eval weight fetches.
+mode "zero3shard": zero_stage=3 (params themselves cross-host-sharded)
+    + sharded checkpoints -- each host writes only its own shard file
+    and NO host ever all-gathers the full state (asserted: the
+    host_fetchable spy must count zero calls through save/eval).
 max_steps: override max_training_steps (resume tests run the worker
     twice with increasing values).
 """
@@ -50,6 +54,7 @@ def main():
 
     p.model_name = "transformer"
     p.scope_name = "transformer"
+    fetch_calls = {"n": 0}
     if mode == "zero1":
         # ZeRO-1 moments/EMA shard over 'data' ACROSS the two hosts, so
         # every checkpoint fetch and primary-host eval weight fetch must
@@ -57,6 +62,20 @@ def main():
         p.zero_stage = 1
         p.ema_decay = 0.999
         mode = "token"
+    elif mode == "zero3shard":
+        # ZeRO-3 + sharded checkpoints: params/moments/EMA span both
+        # hosts; saves must write per-host shard files WITHOUT any host
+        # materializing the full tree -- spy on host_fetchable (the
+        # monolithic path's all-gather) and prove it is never called
+        p.zero_stage = 3
+        p.ema_decay = 0.999
+        mode = "token"
+        orig_fetch = dist.host_fetchable
+
+        def _spy(tree):
+            fetch_calls["n"] += 1
+            return orig_fetch(tree)
+        dist.host_fetchable = _spy
     p.hidden_size = 32
     p.embed_size = 32
     p.filter_size = 64
@@ -65,11 +84,15 @@ def main():
     p.num_decoder_layer = 1
     p.dropout = p.relu_dropout = p.residual_dropout = p.attention_dropout = 0.0
     p.max_len = 16
+    zero3shard = p.zero_stage == 3
     if mode == "token":
         p.batch_or_token = "token"
         p.token_size = 100
         p.eval_freq = 8
-        p.sample_freq = 8
+        # sampling decodes host-local batches via a collective weight
+        # fetch -- exactly the full-tree materialization zero3shard
+        # asserts never happens, so it stays off there
+        p.sample_freq = 0 if zero3shard else 8
         p.eval_batch_size = 8
         p.beam_size = 2
         p.decode_length = 12
@@ -105,6 +128,11 @@ def main():
     p = cli.setup_recorder(p)
     resumed_from = p.recorder.step
     graph.train(p)
+    if zero3shard:
+        assert fetch_calls["n"] == 0, (
+            "sharded-checkpoint run materialized the full state via "
+            "host_fetchable %d time(s)" % fetch_calls["n"])
+        print("NO_FULL_STATE_FETCH ok")
     print("WORKER_OK pid=%s step=%d resumed_from=%d"
           % (pid, p.recorder.step, resumed_from))
 

@@ -95,6 +95,95 @@ def test_two_process_save_restart_resume(tmp_path):
         assert "Restoring" in out, out[-2000:]
 
 
+def test_two_process_asymmetric_sigterm(tmp_path):
+    """ADVICE r3 medium: SIGTERM delivered to ONE host only must not
+    deadlock -- the per-step local flags are all-reduced every
+    preempt_sync_freq steps, so BOTH hosts take the collective
+    checkpoint-and-exit branch at the same step."""
+    import signal
+    import time
+
+    _mk_corpus(tmp_path)
+    coordinator = "127.0.0.1:%d" % _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "dist_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, worker, coordinator, "2", str(pid), str(tmp_path),
+         "batch", "100000"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in range(2)]
+    try:
+        # wait until training is demonstrably underway (first checkpoint
+        # at save_freq=6), so the SIGTERM handler is installed
+        record = tmp_path / "out" / "record.json"
+        deadline = time.time() + 400
+        while not record.exists():
+            assert time.time() < deadline, "training never reached a save"
+            for p in procs:
+                assert p.poll() is None, "worker died before the signal"
+            time.sleep(2)
+        procs[1].send_signal(signal.SIGTERM)   # ONE host only
+        outs = [p.communicate(timeout=300)[0] for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+        assert "WORKER_OK" in out, out[-3000:]
+        assert "exiting for preemption" in out, out[-3000:]
+
+
+def test_two_process_zero3_sharded_checkpoint_resume(tmp_path):
+    """ZeRO-3 + sharded checkpoints (VERDICT r3 #4): params/moments/EMA
+    span both hosts; each host writes ONLY its own shard file, no host
+    ever all-gathers the full tree (spy-asserted in the worker), and a
+    restart resumes from the per-host shards."""
+    import glob
+
+    import numpy as np
+
+    _mk_corpus(tmp_path)
+    outs = _run_workers(tmp_path, "zero3shard", 16)
+    for out in outs:
+        assert "NO_FULL_STATE_FETCH ok" in out, out[-2000:]
+
+    # per-host shard files + meta exist; no monolithic npz
+    record = json.load(open(tmp_path / "out" / "record.json"))
+    step = record["step"]
+    base = str(tmp_path / "out" / ("model-%d" % step))
+    assert os.path.exists(base + ".shard0.npz"), os.listdir(tmp_path / "out")
+    assert os.path.exists(base + ".shard1.npz")
+    assert os.path.exists(base + ".shardmeta.json")
+    assert not os.path.exists(base + ".npz")
+
+    # each host's shard of a cross-host-sharded leaf is PARTIAL: pick a
+    # sharded param entry (key contains '@' slices) and check its row
+    # count is below the full shape from the meta
+    meta = json.load(open(base + ".shardmeta.json"))
+    z0 = np.load(base + ".shard0.npz")
+    sharded_keys = [k for k in z0.files if "@" in k]
+    assert sharded_keys, "no cross-host-sharded entries in shard0"
+    for k in sharded_keys[:5]:
+        key, idx = k.split("@", 1)
+        full = meta["keys"][key]
+        spans = [tuple(map(int, part.split(":")))
+                 for part in idx.split(",")]
+        assert any(b - a < dim for (a, b), dim in zip(spans, full)), \
+            (k, full)
+
+    # restart + resume from the sharded checkpoint
+    outs = _run_workers(tmp_path, "zero3shard", 24)
+    for out in outs:
+        assert "resumed_from=16" in out, out[-2000:]
+        assert "Restoring from sharded checkpoint" in out, out[-2000:]
+    record = json.load(open(tmp_path / "out" / "record.json"))
+    assert record["step"] == 24
+    # the dev eval ran on the cross-host-sharded weights (mesh decode)
+    assert len(record["valid_script_scores"]) >= 1
+
+
 def test_two_process_zero1_save_eval_resume(tmp_path):
     """ZeRO-1 moments/EMA span both hosts, so checkpoint saves and the
     primary-host eval weight fetch must all-gather COLLECTIVELY

@@ -294,8 +294,16 @@ def default_config() -> Config:
         # shards the PARAMS over 'data' (FSDP: per-use weight
         # all-gathers + grad reduce-scatter, params 1/data_par per
         # chip). Update math is unchanged -- GSPMD derives the
-        # reduce/gather schedule from the layout.
+        # reduce/gather schedule from the layout. Stage 2 (sharded
+        # gradients) is structural under GSPMD: grads reduce-scatter
+        # straight into the stage-1 moment layout, so 2 runs as 1 (with
+        # stage-2 semantics) and logs that it did.
         zero_stage=0,
+        # sharded checkpoints (saver.py sharded-v1): each host writes only
+        # its own shards of cross-host-sharded state instead of
+        # all-gathering the full tree to every host per save. "auto" =
+        # on iff multi-host AND zero_stage>0; explicit true/false forces.
+        sharded_checkpoint="auto",
         # transformer_moe (Switch/GShard extension): expert count,
         # routed experts per token (1=Switch, 2=GShard), train-time
         # capacity factor, load-balance aux-loss weight
@@ -303,6 +311,11 @@ def default_config() -> Config:
         moe_top_k=1,
         moe_capacity_factor=1.25,
         moe_aux_weight=0.01,
+        # multi-host preemption-flag sync cadence (steps): SIGTERM may
+        # reach hosts at different times, so the local flags are
+        # all-reduced every N steps and every host checkpoints+exits at
+        # the same step (the checkpoint path is collective)
+        preempt_sync_freq=10,
         # multi-host training (jax.distributed): coordinator "host:port";
         # empty = single process. The reference has no multi-node support.
         dist_coordinator="",

@@ -132,12 +132,13 @@ def _attn_core(q, k, v, keep_mask, num_heads, *, rng=None, drop=None,
     (L0Drop count softmax). Returns ([B, Lq, hidden],
     weights [B, H, Lq, Lk]).
 
-    RPR: with ``rpr_max`` the relative terms run in the skew-matmul form
-    (one dense matmul vs the full-offset table + a pad/reshape skew,
-    ops/rpr.py) -- same math as the gathered-einsum form but without the
-    q-batched dot_generals that cost 10 MFU points at L=128 (BENCH_r03).
-    ``rpr_ids`` without ``rpr_max`` keeps the gathered form (callers with
-    precomputed non-standard distance matrices).
+    RPR: with ``rpr_max`` the relative terms run in the bucket-one-hot
+    matmul form (ops/rpr.py logits/output_with_rpr_onehot) -- same math
+    as the gathered-einsum form but measured at ~1/9 its overhead on v5e
+    (scripts/ablations/ab_rpr.py; the gathered form cost 10 MFU points
+    at L=128, BENCH_r03). ``rpr_ids`` without ``rpr_max`` keeps the
+    gathered form (callers with precomputed non-standard distance
+    matrices), as do shapes whose one-hot constant would be oversized.
     """
     qh = split_heads(q, num_heads)
     kh = split_heads(k, num_heads)
@@ -145,10 +146,15 @@ def _attn_core(q, k, v, keep_mask, num_heads, *, rng=None, drop=None,
     dh = qh.shape[-1]
     qh = qh * (dh ** -0.5)
 
-    use_skew = rpr_tables is not None and rpr_max is not None
-    if use_skew:
-        logits = rpr_mod.logits_with_rpr_skew(qh, kh, rpr_tables["keys"],
-                                              rpr_max)
+    use_onehot = (rpr_tables is not None and rpr_max is not None
+                  and rpr_mod.onehot_supported(qh.shape[2], kh.shape[2],
+                                               rpr_max))
+    if rpr_tables is not None and not use_onehot and rpr_ids is None:
+        rpr_ids = rpr_mod.relative_positions_matrix(qh.shape[2],
+                                                    kh.shape[2], rpr_max)
+    if use_onehot:
+        logits = rpr_mod.logits_with_rpr_onehot(qh, kh, rpr_tables["keys"],
+                                                rpr_max)
     elif rpr_tables is not None:
         r_k = rpr_mod.gather_embeddings(rpr_tables["keys"], rpr_ids)
         logits = rpr_mod.logits_with_rpr(qh, kh, r_k)
@@ -173,9 +179,9 @@ def _attn_core(q, k, v, keep_mask, num_heads, *, rng=None, drop=None,
 
     dweights = dropout(rng, weights, drop).astype(q.dtype)
 
-    if use_skew:
-        o = rpr_mod.output_with_rpr_skew(dweights, vh,
-                                         rpr_tables["values"], rpr_max)
+    if use_onehot:
+        o = rpr_mod.output_with_rpr_onehot(dweights, vh,
+                                           rpr_tables["values"], rpr_max)
     elif rpr_tables is not None:
         r_v = rpr_mod.gather_embeddings(rpr_tables["values"], rpr_ids)
         o = rpr_mod.output_with_rpr(dweights, vh, r_v)

@@ -45,82 +45,63 @@ def gather_embeddings(table: jax.Array, ids: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# skew-matmul form (the fast full-sequence path)
+# bucket-one-hot matmul form (the fast full-sequence path)
 #
 # The naive add-on (logits_with_rpr/output_with_rpr below) contracts a
 # gathered [Lq, Lk, depth] tensor per QUERY position: XLA lowers those
-# einsums as q-batched dot_generals, which forces two full transposes of
-# the [B, H, Lq, Lk] logits tensor per direction -- measured as a 25%
+# einsums as q-batched dot_generals whose layout churn measured as a 25%
 # step-time tax at L=128 (BENCH_r03 transformer_rpr_train 31.1% MFU vs
-# base 41.7%). The skew form replaces them with ONE dense MXU matmul
-# against the table expanded over all unclipped relative offsets
-# (q @ full_table^T -> [B, H, Lq, Lq+Lk-1]) plus a pad/reshape "skew"
-# between relative and absolute indexing (Huang et al. 2018 appendix /
-# T2T relative attention v2) -- no q-batched ops, no big transposes.
-# Mathematically identical: full_table[r] = table[clip(q-k)] row for the
-# offset r = k - q + (Lq - 1), so every (q, k) dot product sums the same
-# scalars in the same order.
+# base 41.7%). The fast form factors the relative term through the
+# CLIPPED BUCKETS: with M buckets (M = 2*max+1, e.g. 33),
+#     rel_logits[b,h,q,k] = (q @ table^T)[b,h,q, ids[q,k]]
+#                         = sum_m (q @ table^T)[b,h,q,m] * OH[q,k,m]
+#     rpr_out[b,h,q,:]    = (sum_k w[q,k] * OH[q,k,m]) @ table
+# where OH = one_hot(ids) is a small [Lq, Lk, M] CONSTANT. q @ table^T
+# is one dense MXU matmul to a skinny [B, H, Lq, M]; the one-hot
+# contractions are tiny-m matmuls XLA fuses cleanly. Measured on v5e
+# (scripts/ablations/ab_rpr.py, B=64 H=8 L=128, fwd+bwd): +0.06 ms over
+# plain attention vs +0.50 ms (gathered form) and +0.42 ms (a pad/
+# reshape skew variant); a take_along_axis variant was 66x (TPU minor-
+# dim gather). Same math: the one-hot contraction IS the gather, with
+# the per-bucket sums reassociated.
 # ---------------------------------------------------------------------------
 
-def full_table(table: jax.Array, length_q: int, length_k: int,
-               max_relative_position: int) -> jax.Array:
-    """[Lq+Lk-1, depth]: the clipped-bucket table expanded over every
-    unclipped relative offset r = k - q + (Lq - 1) (a tiny gather from
-    [2*max+1, depth])."""
-    r = jnp.arange(length_q + length_k - 1) - (length_q - 1)   # k - q
-    ids = jnp.clip(-r, -max_relative_position, max_relative_position) \
-        + max_relative_position                                 # bucket(q-k)
-    return jnp.take(table, ids, axis=0)
+# beyond this many [Lq, Lk, M] one-hot elements (~0.5 GB bf16), fall back
+# to the gathered form rather than materializing a huge constant
+_ONEHOT_MAX_ELEMS = 1 << 28
 
 
-def rel_to_abs(x: jax.Array, length_k: int) -> jax.Array:
-    """[..., Lq, Lq+Lk-1] relative-offset scores -> [..., Lq, Lk] absolute:
-    out[..., q, k] = x[..., q, k - q + Lq - 1], via pad/reshape only."""
-    *lead, q_len, w = x.shape
-    assert w == q_len + length_k - 1, (x.shape, length_k)
-    pad = [(0, 0)] * len(lead)
-    x = jnp.pad(x, pad + [(0, 0), (0, 1)])             # [..., Lq, W+1]
-    flat = x.reshape(*lead, q_len * (w + 1))
-    flat = jnp.pad(flat, pad + [(0, w - q_len)])
-    x = flat.reshape(*lead, q_len + 1, w)
-    return x[..., :q_len, q_len - 1:q_len - 1 + length_k]
+def onehot_supported(length_q: int, length_k: int,
+                     max_relative_position: int) -> bool:
+    return (length_q * length_k * (2 * max_relative_position + 1)
+            <= _ONEHOT_MAX_ELEMS)
 
 
-def abs_to_rel(x: jax.Array) -> jax.Array:
-    """[..., Lq, Lk] absolute weights -> [..., Lq, Lq+Lk-1] by relative
-    offset: out[..., q, r] = x[..., q, q + r - Lq + 1] (zero where the
-    absolute index falls outside [0, Lk))."""
-    *lead, q_len, k_len = x.shape
-    w = q_len + k_len - 1
-    pad = [(0, 0)] * len(lead)
-    xp = jnp.pad(x, pad + [(0, 0), (q_len - 1, 0)])    # [..., Lq, W]
-    flat = xp.reshape(*lead, q_len * w)
-    flat = jnp.pad(flat, pad + [(0, q_len)])
-    y = flat.reshape(*lead, q_len, w + 1)[..., :w]
-    # entries past the row boundary alias the next query's data: zero them
-    # (out-of-range on the right; the left side is genuine zero padding)
-    q_idx = jnp.arange(q_len)[:, None]
-    r_idx = jnp.arange(w)[None, :]
-    valid = (q_idx + r_idx) <= (w - 1)
-    return y * valid.astype(y.dtype)
+def _dist_onehot(length_q: int, length_k: int, max_relative_position: int,
+                 dtype) -> jax.Array:
+    ids = relative_positions_matrix(length_q, length_k,
+                                    max_relative_position)
+    return jax.nn.one_hot(ids, 2 * max_relative_position + 1, dtype=dtype)
 
 
-def logits_with_rpr_skew(qh: jax.Array, kh: jax.Array, table: jax.Array,
-                         max_relative_position: int) -> jax.Array:
-    """q @ k^T + skew(q @ full_table^T): [B, H, Lq, Lk] logits."""
+def logits_with_rpr_onehot(qh: jax.Array, kh: jax.Array, table: jax.Array,
+                           max_relative_position: int) -> jax.Array:
+    """q @ k^T + (q @ table^T) expanded through the distance one-hot."""
     lq, lk = qh.shape[2], kh.shape[2]
-    tf = full_table(table, lq, lk, max_relative_position).astype(qh.dtype)
+    oh = _dist_onehot(lq, lk, max_relative_position, qh.dtype)
+    qr = jnp.einsum("bhqd,md->bhqm", qh, table.astype(qh.dtype))
     logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh)
-    return logits + rel_to_abs(jnp.einsum("bhqd,rd->bhqr", qh, tf), lk)
+    return logits + jnp.einsum("bhqm,qkm->bhqk", qr, oh)
 
 
-def output_with_rpr_skew(w: jax.Array, v: jax.Array, table: jax.Array,
-                         max_relative_position: int) -> jax.Array:
-    """w @ v + unskew(w) @ full_table: [B, H, Lq, Dh] outputs."""
+def output_with_rpr_onehot(w: jax.Array, v: jax.Array, table: jax.Array,
+                           max_relative_position: int) -> jax.Array:
+    """w @ v + bucket-summed weights @ table."""
     lq, lk = w.shape[2], w.shape[3]
-    tf = full_table(table, lq, lk, max_relative_position).astype(w.dtype)
+    oh = _dist_onehot(lq, lk, max_relative_position, w.dtype)
+    wb = jnp.einsum("bhqk,qkm->bhqm", w, oh)
     o = jnp.einsum("bhqk,bhkd->bhqd", w, v)
-    return o + jnp.einsum("bhqr,rd->bhqd", abs_to_rel(w), tf)
+    return o + jnp.einsum("bhqm,md->bhqd", wb, table.astype(w.dtype))
 
 
 def logits_with_rpr(q: jax.Array, k: jax.Array, r: jax.Array) -> jax.Array:

@@ -120,6 +120,18 @@ def make_train_step(model, cfg, mesh=None, donate: bool = True):
     dp_on = mesh is not None and int(mesh.shape.get("data", 1)) > 1
     zero1 = zstage >= 1 and dp_on
     zero3 = zstage >= 3 and dp_on
+    if zstage == 2 and dp_on:
+        # ZeRO-2 = ZeRO-1 + sharded gradients. Under GSPMD the gradient
+        # sharding is structural, not a separate mode: with the moments
+        # laid out 1/data_par per chip, XLA reduces each microbatch grad
+        # DIRECTLY into the sharded moment layout (reduce-scatter), so no
+        # replicated gradient tree ever persists. Stage 2 therefore runs
+        # the stage-1 layout and already has stage-2 semantics.
+        import logging
+        logging.getLogger("zero_tpu.train_step").info(
+            "zero_stage=2: gradient sharding is structural under GSPMD "
+            "(grads reduce-scatter into the 'data'-sharded moments); "
+            "running the ZeRO-1 layout, which carries stage-2 semantics")
 
     robt_on = bool(getattr(cfg, "robt", False))
     if robt_on:

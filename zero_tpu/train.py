@@ -335,10 +335,39 @@ def _train(params, preempted) -> bool:
     decode_local = make_decode_fn(params, model) if sample_on_primary \
         else None
 
+    # sharded checkpoints: with ZeRO state spanning hosts, the monolithic
+    # format all-gathers the FULL params+moments+EMA to every host per
+    # save (the memory ZeRO-3 exists to avoid); the sharded format has
+    # each host write only its own shards (saver.py sharded-v1).
+    # sharded_checkpoint: "auto" (on iff multi-host + zero_stage>0),
+    # or an explicit bool.
+    sharded_pref = getattr(params, "sharded_checkpoint", "auto")
+    if sharded_pref == "auto":
+        sharded_ckpt = nproc > 1 and int(getattr(params, "zero_stage",
+                                                 0)) > 0
+    else:
+        sharded_ckpt = bool(sharded_pref)
     saver = Saver(checkpoints=params.checkpoints,
                   output_dir=params.output_dir,
                   best_checkpoints=params.best_checkpoints,
-                  async_save=bool(getattr(params, "async_checkpoint", False)))
+                  async_save=bool(getattr(params, "async_checkpoint", False)),
+                  sharded=sharded_ckpt)
+
+    def _save_all(state, step, bleu=None):
+        """Checkpoint + recorder. COLLECTIVE under multi-host: either the
+        host_fetchable all-gather (monolithic) or per-host shard writes
+        (sharded) -- every process must reach this call together."""
+        trees = {"params": state.params, "opt": state.opt_state,
+                 "ema": state.ema}
+        if saver.sharded:
+            saver.save(trees, step, bleu)   # each host writes its shards
+        else:
+            trees = dist.host_fetchable(trees)
+            if dist.is_primary():
+                saver.save(trees, step, bleu)
+        if dist.is_primary():
+            recorder.save_to_json(
+                os.path.join(params.output_dir, "record.json"))
 
     # warm start from a pretrained model, then own dir (main.py:222-226).
     # Restored leaves are host numpy; put them back on the INITIAL
@@ -487,29 +516,30 @@ def _train(params, preempted) -> bool:
             recorder.lrate = float(lr)
             recorder.epoch = epoch
 
-            if preempted["flag"]:
+            # Preemption check. Single-host: act on the local flag
+            # directly. Multi-host: SIGTERM may reach hosts at different
+            # steps (or only some hosts), and _save_all is COLLECTIVE --
+            # acting on the local flag alone would deadlock the job at
+            # shutdown. Instead every host all-reduces its flag at a
+            # shared cadence (tiny scalar collective, every
+            # preempt_sync_freq steps) so all hosts take the
+            # checkpoint-and-exit branch at the same step.
+            preempt_now = preempted["flag"] if nproc == 1 else False
+            if nproc > 1 and step % max(
+                    int(getattr(params, "preempt_sync_freq", 10)), 1) == 0:
+                from jax.experimental import multihost_utils
+                preempt_now = bool(multihost_utils.process_allgather(
+                    np.int32(preempted["flag"])).max())
+            if preempt_now:
+                preempted["flag"] = True   # consistent on EVERY host now
                 log.warning("SIGTERM received: checkpointing at step %d "
                             "and exiting for preemption", step)
-                # the fetch is collective (ZeRO state spans hosts); only
-                # the primary writes
-                trees = dist.host_fetchable(
-                    {"params": state.params, "opt": state.opt_state,
-                     "ema": state.ema})
-                if dist.is_primary():
-                    saver.save(trees, step)
-                    recorder.save_to_json(
-                        os.path.join(params.output_dir, "record.json"))
+                _save_all(state, step)
                 should_stop = True
                 break
 
             if params.save_freq > 0 and step % params.save_freq == 0:
-                trees = dist.host_fetchable(
-                    {"params": state.params, "opt": state.opt_state,
-                     "ema": state.ema})
-                if dist.is_primary():
-                    saver.save(trees, step)
-                    recorder.save_to_json(
-                        os.path.join(params.output_dir, "record.json"))
+                _save_all(state, step)
 
             if params.sample_freq > 0 and step % params.sample_freq == 0:
                 if nproc == 1:
@@ -542,13 +572,7 @@ def _train(params, preempted) -> bool:
                          max(saver.best_score, bleu))
                 stop_now = record_eval_score(recorder, step, float(bleu),
                                              params.estop_patience)
-                trees = dist.host_fetchable(
-                    {"params": state.params, "opt": state.opt_state,
-                     "ema": state.ema})
-                if dist.is_primary():
-                    saver.save(trees, step, bleu)
-                    recorder.save_to_json(
-                        os.path.join(params.output_dir, "record.json"))
+                _save_all(state, step, bleu)
                 adapt_lr.after_eval(float(bleu))
                 if stop_now:
                     log.info("Early stopped at step %d", step)
@@ -572,13 +596,16 @@ def _train(params, preempted) -> bool:
         adapt_lr.after_epoch(eidx=epoch)
         recorder.epoch = epoch + 1
 
-    # final save + eval (main.py:441-466)
+    # final save + eval (main.py:441-466). The preempt flag must agree
+    # across hosts before gating the COLLECTIVE final eval: a host whose
+    # SIGTERM arrived after the last in-loop sync would otherwise skip
+    # the eval other hosts enter (deadlock) -- re-sync it once here.
+    if nproc > 1:
+        from jax.experimental import multihost_utils
+        preempted["flag"] = bool(multihost_utils.process_allgather(
+            np.int32(preempted["flag"])).max())
     step = int(state.step)
-    trees = dist.host_fetchable(
-        {"params": state.params, "opt": state.opt_state, "ema": state.ema})
-    if dist.is_primary():
-        saver.save(trees, step)
-        recorder.save_to_json(os.path.join(params.output_dir, "record.json"))
+    _save_all(state, step)
     if preempted["flag"]:
         pass    # exit inside the grace window; skip the final dev eval
     elif params.src_dev_file and not (nproc > 1 and restricted):
@@ -588,8 +615,7 @@ def _train(params, preempted) -> bool:
                             os.path.join(params.output_dir, "trans.txt")
                             if dist.is_primary() else "")
         log.info("Final BLEU %.4f at step %d", bleu, step)
-        if dist.is_primary():
-            saver.save(trees, step, bleu)
+        _save_all(state, step, bleu)
     saver.wait()
     log.info("Training finished at step %d", step)
     return True
