@@ -321,9 +321,11 @@ def bench_moe():
     # 8 experts x 12 layers of [E, d, f] stacks + their [E, B*C, f]
     # hidden activations exceed the 16 GB chip at B=256 without remat
     # (RESOURCE_EXHAUSTED in a FRESH process, r4 -- not the r3 cache
-    # inheritance); per-layer remat fits, same policy as transformer-big
+    # inheritance); the transformer-big policy fits: per-layer remat +
+    # B=128 (the model is big-scale, ~245M params; B=256 OOMs even
+    # WITH remat)
     cfg.use_remat = True
-    rows, L = 256, 128
+    rows, L = 128, 128
     return bench_train(cfg, rows, L, L, vocab_hi=30000,
                        flops_per_step=moe_train_flops(cfg, rows, L, L))
 
