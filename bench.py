@@ -534,6 +534,23 @@ def _config_registry():
         lambda: bench_decode("transformer_l0drop", batch_rows=32,
                              src_len=128,
                              cfg_overrides={"l0_compact_ratio": 0.5})
+    # 10b. ...measured r4: at MT shapes (src 128) the pair is FLAT
+    #      (~200 vs ~200 sent/s) because the decode step is dominated
+    #      by the logits matmul + target self-attention + FFN; halving
+    #      a 128-position cross memory saves ~nothing. The reference's
+    #      1.65x is a SUMMARIZATION number (long sources). This pair
+    #      reproduces that regime: src 1024 compacted to 25%, fixed
+    #      80-step decode budget so both run identical step counts.
+    reg["l0drop_decode_full_L1024"] = \
+        lambda: bench_decode("transformer_l0drop", batch_rows=32,
+                             src_len=1024,
+                             cfg_overrides={"l0_compact_ratio": 0.0,
+                                            "decode_max_len": 80})
+    reg["l0drop_decode_compact25_L1024"] = \
+        lambda: bench_decode("transformer_l0drop", batch_rows=32,
+                             src_len=1024,
+                             cfg_overrides={"l0_compact_ratio": 0.25,
+                                            "decode_max_len": 80})
     return reg
 
 
@@ -575,8 +592,10 @@ def _run_child(name: str) -> None:
     print(json.dumps(result))
 
 
-# generous per-config watchdog: deep-30L compiles ~4 min on the tunnel
-CHILD_TIMEOUT_S = 240.0 if SMOKE else 1200.0
+# generous per-config watchdog: deep-30L compiles ~4 min on the tunnel;
+# smoke children share a possibly-loaded 1-core CI host, so generous there
+# too (r4: 240 s flaked under a concurrent pytest run)
+CHILD_TIMEOUT_S = 420.0 if SMOKE else 1200.0
 
 
 def _spawn_config(name: str) -> dict:
@@ -668,6 +687,12 @@ def main():
             "speedup_vs_uncompacted"] = round(
             sps("l0drop_decode_compact50_L128")
             / sps("l0drop_decode_full_L128"), 3)
+    if sps("l0drop_decode_full_L1024") and \
+            sps("l0drop_decode_compact25_L1024"):
+        cfgs["l0drop_decode_compact25_L1024"][
+            "speedup_vs_uncompacted"] = round(
+            sps("l0drop_decode_compact25_L1024")
+            / sps("l0drop_decode_full_L1024"), 3)
 
     details["total_bench_s"] = round(time.perf_counter() - started, 1)
     with open("BENCH_DETAILS.json", "w") as f:

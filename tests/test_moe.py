@@ -108,6 +108,38 @@ def test_aux_loss_uniform_router_is_one():
 
 
 @pytest.mark.parametrize("top_k", [1, 2])
+@pytest.mark.parametrize("cap", [1.25, 0.25])
+def test_scatter_dispatch_equals_einsum(top_k, cap):
+    """The scatter backend (r4 default: per-row scatter-add/gather, no
+    [B,S,E,C] one-hots) must be value- and gradient-identical to the
+    dense einsum form, including under capacity pressure (cap=0.25
+    drops most tokens) and top-2 dual dispatch."""
+    rs = np.random.RandomState(7)
+    d, f, e = 8, 16, 4
+    p = _moe_params(jax.random.PRNGKey(7), d, f, e)
+    x = jnp.asarray(rs.randn(3, 10, d).astype(np.float32))
+
+    def run(mode, p_, x_):
+        return moe.moe_ffn(p_, x_, num_experts=e, top_k=top_k,
+                           capacity_factor=cap, training=True,
+                           dispatch=mode)
+
+    y_e = run("einsum", p, x)
+    y_s = run("scatter", p, x)
+    np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_e),
+                               atol=1e-6)
+
+    def loss(mode, p_, x_):
+        return jnp.sum(run(mode, p_, x_) ** 2)
+
+    ge = jax.grad(loss, argnums=(1, 2))("einsum", p, x)
+    gs = jax.grad(loss, argnums=(1, 2))("scatter", p, x)
+    for a, b in zip(jax.tree.leaves(ge), jax.tree.leaves(gs)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-5)
+
+
+@pytest.mark.parametrize("top_k", [1, 2])
 def test_cache_decode_equals_dev_decode(top_k):
     cfg = tiny_config(moe_num_experts=4, moe_top_k=top_k)
     model = get_model("transformer_moe")

@@ -311,6 +311,12 @@ def default_config() -> Config:
         moe_top_k=1,
         moe_capacity_factor=1.25,
         moe_aux_weight=0.01,
+        # MoE token dispatch backend (ops/moe.py): "scatter" (per-row
+        # scatter-add/gather, no [B,S,E,C] one-hots -- the single-chip/
+        # data-parallel optimum), "einsum" (dense one-hot form GSPMD
+        # turns into all-to-alls under an 'expert' mesh axis), or
+        # "auto" = einsum iff mesh_expert > 1
+        moe_dispatch="auto",
         # multi-host preemption-flag sync cadence (steps): SIGTERM may
         # reach hosts at different times, so the local flags are
         # all-reduced every N steps and every host checkpoints+exits at

@@ -28,9 +28,17 @@ from zero_tpu.ops.common import RngGen, dropout
 
 
 def _moe_args(cfg):
+    mode = getattr(cfg, "moe_dispatch", "auto")
+    if mode == "auto":
+        # einsum's one-hot dispatch is what GSPMD rewrites into token
+        # all-to-alls under an 'expert' axis; without one, the scatter
+        # backend avoids the [B,S,E,C] tensors entirely (ops/moe.py)
+        mode = "einsum" if int(getattr(cfg, "mesh_expert", 1)) > 1 \
+            else "scatter"
     return dict(num_experts=int(cfg.moe_num_experts),
                 top_k=int(cfg.moe_top_k),
-                capacity_factor=float(cfg.moe_capacity_factor))
+                capacity_factor=float(cfg.moe_capacity_factor),
+                dispatch=mode)
 
 
 def init_enc_layer(key, cfg, layer):

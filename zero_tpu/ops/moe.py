@@ -3,22 +3,33 @@
 An extension the reference lacks entirely (no MoE anywhere in the
 checkout); built for the 'expert' mesh axis (expert parallelism): the
 expert-stacked weights [E, ...] shard over 'expert', and the dispatch/
-combine einsums below let GSPMD insert the token all-to-alls between
-the data-sharded token layout and the expert-sharded compute layout --
-no hand-written collectives, matching the framework's GSPMD-first
-stance (SURVEY §2.3).
+combine stage moves tokens between the data-sharded token layout and
+the expert-sharded compute layout -- under GSPMD the einsum backend
+lets XLA insert the token all-to-alls, matching the framework's
+GSPMD-first stance (SURVEY §2.3).
 
 Design (static shapes throughout, per XLA requirements):
   * top-1 (Switch, Fedus et al. 2021: gate = router prob, which carries
     the router's task-loss gradient) or top-2 (GShard, Lepikhin et al.
     2020: gates renormalized over the chosen k) routing;
   * per-row capacity C = ceil(S * capacity_factor * k / E): each batch
-    row is its own dispatch group, so the [B, S, E, C] dispatch tensor
-    stays small and the decode step (S=1, C=1) routes losslessly;
+    row is its own dispatch group, so the dispatch state stays small
+    and the decode step (S=1, C=1) routes losslessly;
   * tokens beyond an expert's capacity contribute zero here and survive
     through the residual connection (standard overflow semantics);
   * load-balance aux loss E * sum_e f_e * P_e (fraction dispatched x
     mean router prob), accumulated per layer by the caller.
+
+Two dispatch backends with identical semantics (tests/test_moe.py
+asserts fwd+grad equality):
+  * "einsum": dense [B,S,E,C] one-hot dispatch/combine einsums -- the
+    GSPMD-friendly form for an active 'expert' mesh axis (all-to-alls),
+    but its one-hot tensors and the two [B*S, E*C, d] matmuls are
+    quadratic-ish HBM at real S/E/C (VERDICT r3 weak/next #7);
+  * "scatter": tokens scatter-add into a per-row [E*C+1, d] buffer by
+    slot index and gather back at combine -- O(S*k*d + E*C*d) data
+    movement, no [B,S,E,C] tensor ever materializes. Default for
+    single-chip / data-parallel training (mesh_expert == 1).
 
 Router math runs in fp32 regardless of compute dtype.
 """
@@ -61,9 +72,50 @@ def capacity(seq_len: int, num_experts: int, capacity_factor: float,
                                 / num_experts)))
 
 
+def _route(probs, top_idx, c: int):
+    """Shared routing math: buffer positions for every (token, slot).
+
+    Returns (pos [B,S,k] int32 1-based position in the chosen expert's
+    capacity buffer, keep [B,S,k] bool, f_frac [B,E] kept-token
+    fractions for the aux loss). Slots are sequenced so primary choices
+    claim capacity first; within a slot, capacity is claimed in
+    sequence order (cumsum) -- the Switch/GShard convention.
+    """
+    b, s, e = probs.shape
+    k = top_idx.shape[-1]
+    pos_slots, keep_slots = [], []
+    f_frac = jnp.zeros((b, e), jnp.float32)
+    for slot in range(k):
+        onehot = jax.nn.one_hot(top_idx[..., slot], e,
+                                dtype=jnp.float32)       # [B, S, E]
+        prior = f_frac * s                               # tokens used
+        grid = jnp.cumsum(onehot, axis=1) + prior[:, None, :]
+        grid = grid * onehot                             # [B,S,E] 1-based
+        pos = jnp.take_along_axis(
+            grid, top_idx[..., slot][..., None], axis=2)[..., 0]
+        keep = (pos > 0) & (pos <= c)
+        f_frac = f_frac + jnp.mean(
+            onehot * keep[..., None].astype(jnp.float32), axis=1)
+        pos_slots.append(pos)
+        keep_slots.append(keep)
+    pos = jnp.stack(pos_slots, axis=-1).astype(jnp.int32)   # [B, S, k]
+    keep = jnp.stack(keep_slots, axis=-1)                   # [B, S, k]
+    return pos, keep, f_frac
+
+
+def _expert_ffn(ex, xin, rngs, drop):
+    """Expert-batched two-layer relu FFN on [E, T, d] inputs."""
+    h = jnp.einsum("etd,edf->etf", xin, ex["w1"]) + ex["b1"][:, None, :]
+    h = jax.nn.relu(h)
+    if rngs is not None:
+        h = dropout(rngs(), h, drop)
+    return jnp.einsum("etf,efd->etd", h, ex["w2"]) + ex["b2"][:, None, :]
+
+
 def moe_ffn(params, x, rngs=None, drop=None, *, num_experts: int,
             top_k: int = 1, capacity_factor: float = 1.25,
-            aux_sums=None, training: bool = True):
+            aux_sums=None, training: bool = True,
+            dispatch: str = "scatter"):
     """Switch/GShard FFN on [B, S, d] inputs; returns [B, S, d_out].
 
     aux_sums: optional list collecting this layer's scalar load-balance
@@ -75,6 +127,10 @@ def moe_ffn(params, x, rngs=None, drop=None, *, num_experts: int,
     sequence-length-dependent, and lossless eval routing is what makes
     the single-step decode path equal the full-recompute dev path (the
     framework's cache==dev oracle).
+
+    dispatch: "scatter" (default; per-row scatter-add/gather, no
+    [B,S,E,C] tensors) or "einsum" (dense one-hot form; use under an
+    active 'expert' mesh axis so GSPMD inserts token all-to-alls).
     """
     b, s, d = x.shape
     e = num_experts
@@ -95,24 +151,7 @@ def moe_ffn(params, x, rngs=None, drop=None, *, num_experts: int,
         gates = top_probs / jnp.maximum(
             jnp.sum(top_probs, axis=-1, keepdims=True), 1e-9)
 
-    # position of each token in its expert's buffer, k slots sequenced so
-    # primary choices claim capacity first
-    combine = jnp.zeros((b, s, e, c), jnp.float32)
-    f_frac = jnp.zeros((b, e), jnp.float32)
-    for slot in range(top_k):
-        onehot = jax.nn.one_hot(top_idx[..., slot], e,
-                                dtype=jnp.float32)       # [B, S, E]
-        prior = f_frac * s                                # tokens used
-        pos = jnp.cumsum(onehot, axis=1) + prior[:, None, :]
-        pos = pos * onehot                                # [B, S, E] 1-based
-        keep = (pos > 0) & (pos <= c)
-        slot_oh = jax.nn.one_hot((pos - 1).astype(jnp.int32), c,
-                                 dtype=jnp.float32) \
-            * keep[..., None].astype(jnp.float32)         # [B, S, E, C]
-        combine = combine + slot_oh * gates[..., slot, None, None]
-        f_frac = f_frac + jnp.mean(onehot * keep.astype(jnp.float32),
-                                   axis=1)
-    dispatch = (combine > 0).astype(x.dtype)              # [B, S, E, C]
+    pos, keep, f_frac = _route(probs, top_idx, c)
 
     if aux_sums is not None:
         # Switch load-balance loss over PRIMARY assignments (pre-capacity
@@ -122,17 +161,46 @@ def moe_ffn(params, x, rngs=None, drop=None, *, num_experts: int,
         p_e = jnp.mean(probs, axis=(0, 1))                # [E]
         aux_sums.append(e * jnp.sum(f_e * p_e))
 
-    # dispatch tokens -> [E, B*C, d], run the expert FFNs batched over E,
-    # combine back. GSPMD turns the layout change between data-sharded
-    # tokens and expert-sharded weights into all-to-alls over ICI.
     ex = params["experts"]
-    xin = jnp.einsum("bsec,bsd->ebcd", dispatch, x)
-    xin = xin.reshape(e, b * c, d)
-    h = jnp.einsum("etd,edf->etf", xin, ex["w1"]) + ex["b1"][:, None, :]
-    h = jax.nn.relu(h)
-    if rngs is not None:
-        h = dropout(rngs(), h, drop)
-    out = jnp.einsum("etf,efd->etd", h, ex["w2"]) + ex["b2"][:, None, :]
-    out = out.reshape(e, b, c, -1)
-    y = jnp.einsum("bsec,ebcd->bsd", combine.astype(x.dtype), out)
-    return y
+    if dispatch == "einsum":
+        # dense one-hot dispatch/combine pair. GSPMD turns the layout
+        # change between data-sharded tokens and expert-sharded weights
+        # into all-to-alls over ICI.
+        combine = jnp.zeros((b, s, e, c), jnp.float32)
+        for slot in range(top_k):
+            e_oh = jax.nn.one_hot(top_idx[..., slot], e,
+                                  dtype=jnp.float32)      # [B, S, E]
+            c_oh = jax.nn.one_hot(pos[..., slot] - 1, c,
+                                  dtype=jnp.float32)      # [B, S, C]
+            kf = keep[..., slot].astype(jnp.float32)
+            combine = combine + (e_oh[..., :, None] * c_oh[..., None, :]
+                                 * (kf * gates[..., slot])[..., None, None])
+        disp = (combine > 0).astype(x.dtype)              # [B, S, E, C]
+        xin = jnp.einsum("bsec,bsd->ebcd", disp, x).reshape(e, b * c, d)
+        out = _expert_ffn(ex, xin, rngs, drop).reshape(e, b, c, -1)
+        return jnp.einsum("bsec,ebcd->bsd", combine.astype(x.dtype), out)
+
+    # scatter backend: slot index per (token, slot) into a per-row
+    # [E*C + 1] buffer; index E*C is the overflow sink (written by
+    # dropped tokens, never read back).
+    sink = e * c
+    slot_idx = jnp.where(keep, top_idx * c + (pos - 1), sink)  # [B,S,k]
+    flat_idx = slot_idx.reshape(b, s * top_k)
+    xk = jnp.broadcast_to(x[:, :, None, :], (b, s, top_k, d)) \
+        .reshape(b, s * top_k, d)
+    rows = jnp.arange(b, dtype=jnp.int32)[:, None]
+    buf = jnp.zeros((b, e * c + 1, d), x.dtype) \
+        .at[rows, flat_idx].add(xk, unique_indices=False)
+    # kept slot indices are unique per row (one token per (e, pos) pair)
+    # so add == set there; only the sink accumulates collisions.
+    xin = buf[:, :e * c].reshape(b, e, c, d).transpose(1, 0, 2, 3) \
+        .reshape(e, b * c, d)
+    out = _expert_ffn(ex, xin, rngs, drop)
+    d_out = out.shape[-1]
+    out_b = out.reshape(e, b, c, d_out).transpose(1, 0, 2, 3) \
+        .reshape(b, e * c, d_out)
+    back = jnp.take_along_axis(
+        out_b, jnp.clip(flat_idx, 0, e * c - 1)[..., None], axis=1) \
+        .reshape(b, s, top_k, d_out)
+    w = (gates * keep.astype(jnp.float32)).astype(x.dtype)
+    return jnp.einsum("bsk,bskd->bsd", w, back)
