@@ -3,7 +3,10 @@
 Run from repo root: python scripts/ablations/mb_mfu.py <variant> (one variant per process
 so OOMs/compiles don't interact).
 """
+import os
 import sys
+
+sys.path.insert(0, os.getcwd())
 
 import jax
 

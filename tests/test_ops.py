@@ -124,6 +124,31 @@ def test_label_smooth_loss_all_pad_row_excluded():
     assert float(per_sample[1]) == 0.0
 
 
+@pytest.mark.parametrize("factor", [0.0, 0.1])
+def test_smoothed_centropy_reduced_matches_logp_form(factor):
+    """The reduction-form CE (no [N,V] log-prob tensor) must equal the
+    log_softmax form in value and gradient -- sum reassociation is the
+    only numerical difference."""
+    from zero_tpu.ops.common import smoothed_centropy, \
+        smoothed_centropy_reduced
+    rs = np.random.RandomState(11)
+    V = 257
+    logits = jnp.asarray(10.0 * rs.randn(4, 9, V).astype(np.float32))
+    labels = jnp.asarray(rs.randint(0, V, (4, 9)).astype(np.int32))
+
+    a = smoothed_centropy(logits, labels, factor)
+    b = smoothed_centropy_reduced(logits, labels, factor)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-5, atol=1e-5)
+
+    ga = jax.grad(lambda x: jnp.sum(smoothed_centropy(x, labels, factor)))(
+        logits)
+    gb = jax.grad(lambda x: jnp.sum(
+        smoothed_centropy_reduced(x, labels, factor)))(logits)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                               rtol=1e-4, atol=1e-6)
+
+
 # -- attention ----------------------------------------------------------------
 
 def _np_softmax(x, axis=-1):

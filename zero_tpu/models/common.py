@@ -181,8 +181,10 @@ def chunked_tied_ce(feature, soft_table, labels, factor, chunk_tokens):
 
     @jax.checkpoint
     def _chunk_ce(xc, lc, table):
-        return ops_common.smoothed_centropy(output_logits(xc, table), lc,
-                                            factor)
+        # reduction-form CE: the chunk's logits feed only per-token
+        # reductions, so the [chunk, V] fp32 log-probs never exist
+        return ops_common.smoothed_centropy_reduced(
+            output_logits(xc, table), lc, factor)
 
     def body(_, xl):
         xc, lc = xl

@@ -163,6 +163,46 @@ def smoothed_centropy(logits: jax.Array, labels: jax.Array,
     return -gold_logp
 
 
+def smoothed_centropy_reduced(logits: jax.Array, labels: jax.Array,
+                              factor: float) -> jax.Array:
+    """smoothed_centropy in reduction form: numerically the same math,
+    but expressed as per-token reductions over the vocab axis (max,
+    logsumexp, centered logit sum, gold logit) so no [N, V] log-prob
+    tensor is ever materialized. The identities:
+
+        gold_logp = logits[label] - lse
+        sum_v logp_v = (sum_v logits_v - V*max) - V*log(sum_v e^(l_v-max))
+
+    All consumers of the logits are reductions, which XLA fuses into (or
+    right after) the logits matmul -- on a v5e this removed the
+    HBM-bound f32 [chunk, V] log_softmax writes that were 11% of the
+    base train step (profile: docs/mfu.md). Within-fp32-rounding equal
+    to smoothed_centropy (sum reassociation only).
+    """
+    logits = logits.astype(jnp.float32)
+    vocab_size = logits.shape[-1]
+    # stop_gradient on the max is the standard stable-lse trick: the
+    # true gradient of lse routes entirely through the exp term
+    m = jax.lax.stop_gradient(jnp.max(logits, axis=-1))
+    centered = logits - m[..., None]
+    sum_exp = jnp.sum(jnp.exp(centered), axis=-1)
+    lse = m + jnp.log(sum_exp)
+    gold = jnp.take_along_axis(
+        logits, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    gold_logp = gold - lse
+
+    if 0.0 < factor < 1.0:
+        n = float(vocab_size - 1)
+        p = 1.0 - factor
+        q = factor / n
+        csum = jnp.sum(centered, axis=-1)     # sum(logits) - V*max
+        sum_logp = csum - float(vocab_size) * jnp.log(sum_exp)
+        centropy = -(p * gold_logp + q * (sum_logp - gold_logp))
+        normalizer = -(p * jnp.log(p) + n * q * jnp.log(q + 1e-20))
+        return centropy - normalizer
+    return -gold_logp
+
+
 def sentence_mean_loss(centropy: jax.Array, mask: jax.Array):
     """The reference's per-sentence-mean-then-batch-mean reduction.
     All-pad sentences (padded batch rows) contribute 0 and are excluded
