@@ -187,8 +187,15 @@ def smoothed_centropy_reduced(logits: jax.Array, labels: jax.Array,
     centered = logits - m[..., None]
     sum_exp = jnp.sum(jnp.exp(centered), axis=-1)
     lse = m + jnp.log(sum_exp)
-    gold = jnp.take_along_axis(
-        logits, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    # the gold logit as a masked REDUCTION rather than a gather: a
+    # gather HLO cannot fuse into the logits matmul, forcing the full
+    # [N, V] fp32 buffer into HBM; a where+sum joins the other vocab
+    # reductions in the dot's (multi-output) fusion epilogue. Exact:
+    # one matching lane, zeros elsewhere.
+    lane = jax.lax.broadcasted_iota(jnp.int32, logits.shape,
+                                    logits.ndim - 1)
+    onehot_mask = lane == labels[..., None].astype(jnp.int32)
+    gold = jnp.sum(jnp.where(onehot_mask, logits, 0.0), axis=-1)
     gold_logp = gold - lse
 
     if 0.0 < factor < 1.0:
