@@ -272,9 +272,11 @@ def bench_big():
     cfg.num_heads = 16
     cfg.residual_dropout = 0.3  # reference big setting (same cost as 0.1)
     # 210M params + Adam + B=128 L=128 activations exceed the 16 GB chip
-    # without remat (measured RESOURCE_EXHAUSTED); per-layer remat fits
-    # and deep-20L shows the recompute tax still clears 50% MFU
+    # without remat (measured RESOURCE_EXHAUSTED); the dots policy keeps
+    # matmul outputs resident (fits) and recomputes only elementwise +
+    # attention scores: 50.4% MFU vs 45.9% full-recompute (r4, docs/mfu.md)
     cfg.use_remat = True
+    cfg.remat_policy = "dots"
     return bench_train(cfg, rows=128, src_len=128, tgt_len=128,
                        vocab_hi=30000)
 
@@ -325,6 +327,7 @@ def bench_moe():
     # B=128 (the model is big-scale, ~245M params; B=256 OOMs even
     # WITH remat)
     cfg.use_remat = True
+    cfg.remat_policy = "dots"
     rows, L = 128, 128
     return bench_train(cfg, rows, L, L, vocab_hi=30000,
                        flops_per_step=moe_train_flops(cfg, rows, L, L))
@@ -385,6 +388,7 @@ def bench_deep(num_encoder_layer=20, scan_layers=False, rows=128, L=128):
     cfg.update_cycle = 1
     cfg.num_encoder_layer = num_encoder_layer
     cfg.scan_layers = scan_layers
+    cfg.remat_policy = "dots"  # keep matmul outputs; recompute the rest
     # flops: fuse decoder = 2 sublayers (cross qkvo + aan + ffn); count the
     # dominant matmuls with the same rules as the base formula
     d, f = cfg.hidden_size, cfg.filter_size
@@ -393,8 +397,11 @@ def bench_deep(num_encoder_layer=20, scan_layers=False, rows=128, L=128):
     enc_tok = Le * (8 * d * d + 4 * L * d + 4 * d * f)
     dec_tok = Ld * (8 * d * d + 8 * L * d + 4 * d * f)
     fwd = rows * L * (enc_tok + dec_tok + 2 * d * V)
-    # remat recomputes the forward in the backward: 4x fwd, not 3x
-    flops = 4.0 * fwd
+    # MODEL FLOPs (3x fwd), the same convention as every other config:
+    # remat recompute is overhead the MFU pays, not work it is credited
+    # for. (r3 counted 4x here -- its 51.7%/48.4% deep MFUs are NOT
+    # comparable to r4's; tok/s is the cross-round metric.)
+    flops = 3.0 * fwd
     return bench_train(cfg, rows, L, L, flops_per_step=flops)
 
 

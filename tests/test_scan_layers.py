@@ -146,3 +146,35 @@ def test_scan_tp_sharded_step_runs():
     sharded = jax.device_put(batch, batch_sharding(batch, mesh, batch_axis=1))
     state, metrics = step(state, sharded, 1e-3, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+@pytest.mark.parametrize("scan", [False, True])
+def test_remat_policy_grads_equal(scan):
+    """remat_policy only changes WHAT the backward recomputes, never the
+    math: grads under dots / dots_all must equal full recompute exactly
+    (both layer layouts; fp32 CPU)."""
+    model = get_model("transformer")
+    feats = {k: jnp.asarray(v) for k, v in toy_batch().items()}
+    ref = None
+    for pol in ["nothing", "dots", "dots_all"]:
+        cfg = tiny_config(use_remat=True, remat_policy=pol,
+                          scan_layers=scan)
+        params = model.init_fn(jax.random.PRNGKey(0), cfg)
+        g = jax.grad(lambda p: model.train_fn(
+            p, feats, cfg, jax.random.PRNGKey(1))["loss"])(params)
+        if ref is None:
+            ref = g
+        else:
+            for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(g)):
+                np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                           atol=1e-6, err_msg=pol)
+
+
+def test_remat_policy_unknown_rejected():
+    model = get_model("transformer")
+    cfg = tiny_config(use_remat=True, remat_policy="bogus")
+    params = model.init_fn(jax.random.PRNGKey(0), cfg)
+    feats = {k: jnp.asarray(v) for k, v in toy_batch().items()}
+    with pytest.raises(ValueError, match="remat_policy"):
+        jax.grad(lambda p: model.train_fn(
+            p, feats, cfg, jax.random.PRNGKey(1))["loss"])(params)

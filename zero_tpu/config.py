@@ -317,6 +317,12 @@ def default_config() -> Config:
         # turns into all-to-alls under an 'expert' mesh axis), or
         # "auto" = einsum iff mesh_expert > 1
         moe_dispatch="auto",
+        # gradient-checkpoint policy when use_remat: "nothing" = full
+        # per-layer recompute (min memory), "dots" = keep layer matmul
+        # outputs resident and recompute only elementwise + attention
+        # scores (models/common.py:remat_policy; docs/mfu.md), or
+        # "dots_all" (also keep batched score/context dots)
+        remat_policy="nothing",
         # multi-host preemption-flag sync cadence (steps): SIGTERM may
         # reach hosts at different times, so the local flags are
         # all-reduced every N steps and every host checkpoints+exits at

@@ -147,6 +147,29 @@ def shift_right(x):
     return jnp.pad(x, [(0, 0), (1, 0), (0, 0)])[:, :-1, :]
 
 
+def remat_policy(cfg):
+    """Resolve cfg.remat_policy to a jax.checkpoint policy.
+
+    "nothing" (default) = full recompute: minimum memory, the backward
+    re-runs each layer's whole forward (~+25% step FLOPs). "dots" =
+    dots_with_no_batch_dims_saveable: layer matmul outputs (projections,
+    FFN) stay resident and only elementwise ops + the [B,H,L,L]
+    attention scores are recomputed -- most of remat's memory win for a
+    fraction of its FLOP cost (docs/mfu.md). "dots_all" additionally
+    saves batched dots (the attention score/context matmuls)."""
+    name = str(getattr(cfg, "remat_policy", "nothing") or "nothing")
+    if name == "nothing":
+        return None
+    table = {
+        "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        "dots_all": jax.checkpoint_policies.dots_saveable,
+    }
+    if name not in table:
+        raise ValueError("unknown remat_policy %r (nothing|dots|dots_all)"
+                         % name)
+    return table[name]
+
+
 def output_logits(feature, softmax_table):
     """Weight-tied softmax logits in fp32 (transformer.py:190-196)."""
     logits = jnp.einsum("...d,vd->...v", feature,
@@ -263,17 +286,26 @@ def make_transformer(hooks: LayerHooks, zero_softmax: bool = False,
     def _use_remat(cfg, training):
         return bool(getattr(cfg, "use_remat", False)) and training
 
-    @functools.partial(jax.checkpoint, static_argnums=(4,))
-    def _enc_layer_remat(p, x, src_keep, keys, cfg):
+    def _enc_layer_plain(p, x, src_keep, keys, cfg):
         it = iter(keys)
         return hooks.enc_layer(p, x, src_keep, cfg, lambda: next(it))
 
-    @functools.partial(jax.checkpoint, static_argnums=(7,))
-    def _dec_layer_remat(p, x, state, self_keep, mem_keep, tgt_mask, keys,
+    def _dec_layer_plain(p, x, state, self_keep, mem_keep, tgt_mask, keys,
                          cfg):
         it = iter(keys)
         return hooks.dec_layer_train(p, x, state, self_keep, mem_keep, cfg,
                                      lambda: next(it), tgt_mask)
+
+    def _enc_layer_remat(p, x, src_keep, keys, cfg):
+        return jax.checkpoint(_enc_layer_plain, static_argnums=(4,),
+                              policy=remat_policy(cfg))(
+            p, x, src_keep, keys, cfg)
+
+    def _dec_layer_remat(p, x, state, self_keep, mem_keep, tgt_mask, keys,
+                         cfg):
+        return jax.checkpoint(_dec_layer_plain, static_argnums=(7,),
+                              policy=remat_policy(cfg))(
+            p, x, state, self_keep, mem_keep, tgt_mask, keys, cfg)
 
     def _stacked_keys(rngs, num_layers):
         """[L, NKEYS, key] stacked dropout keys for scan bodies, or None
@@ -287,7 +319,7 @@ def make_transformer(hooks: LayerHooks, zero_softmax: bool = False,
         it = iter([keys_l[i] for i in range(_REMAT_KEYS)])
         return lambda: next(it)
 
-    def _scan_stack(layer_fn, x, stacked_params, keys, use_remat):
+    def _scan_stack(layer_fn, x, stacked_params, keys, use_remat, policy):
         """lax.scan ``layer_fn`` over stacked per-layer params.
 
         layer_fn(p_l, x, rngs) -> x. Dropout keys are explicit scan inputs
@@ -296,7 +328,7 @@ def make_transformer(hooks: LayerHooks, zero_softmax: bool = False,
             def inner(p_l, x, keys_l):
                 return layer_fn(p_l, x, _layer_rngs(keys_l))
             if use_remat:
-                inner = jax.checkpoint(inner)
+                inner = jax.checkpoint(inner, policy=policy)
 
             def sb(carry, inp):
                 p_l, keys_l = inp
@@ -306,7 +338,7 @@ def make_transformer(hooks: LayerHooks, zero_softmax: bool = False,
             def inner(p_l, x):
                 return layer_fn(p_l, x, lambda: None)
             if use_remat:
-                inner = jax.checkpoint(inner)
+                inner = jax.checkpoint(inner, policy=policy)
 
             def sb(carry, p_l):
                 return inner(p_l, carry), None
@@ -331,13 +363,14 @@ def make_transformer(hooks: LayerHooks, zero_softmax: bool = False,
         seq_in_pipe carries the hooks' declared SP-in-PP capability."""
         from zero_tpu.parallel import pipe as pipe_mod
         mb = int(getattr(cfg, "pp_microbatches", 0))
+        policy = remat_policy(cfg)
         if pipe_mod.pipe_eligible(num_layers, x.shape[0], mb):
             return pipe_mod.pipeline_stack(
                 layer_fn, x, stacked_params, keys, consts,
                 microbatches=mb, use_remat=use_remat,
-                seq_in_pipe=seq_in_pipe)
+                remat_policy=policy, seq_in_pipe=seq_in_pipe)
         return _scan_stack(lambda p_l, h, r: layer_fn(p_l, h, r, consts),
-                           x, stacked_params, keys, use_remat)
+                           x, stacked_params, keys, use_remat, policy)
 
     # -- encoder ------------------------------------------------------------
     def _encode(params, source, cfg, rngs, dtype, training):

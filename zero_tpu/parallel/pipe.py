@@ -60,8 +60,8 @@ def _fold_keys(keys_l, mb_idx):
 
 
 def pipeline_stack(layer_fn, x, stacked_params, keys, consts=None, *,
-                   microbatches=0, use_remat=False, mesh=None, axis="pipe",
-                   seq_in_pipe=False):
+                   microbatches=0, use_remat=False, remat_policy=None,
+                   mesh=None, axis="pipe", seq_in_pipe=False):
     """Run ``layer_fn`` over a pipe-sharded layer stack; semantically the
     stacked lax.scan of models/common.py:_scan_stack.
 
@@ -102,7 +102,8 @@ def pipeline_stack(layer_fn, x, stacked_params, keys, consts=None, *,
         return layer_fn(p_l, h, lambda: next(it), consts_mb)
 
     if use_remat:
-        inner = jax.checkpoint(inner, static_argnums=())
+        inner = jax.checkpoint(inner, static_argnums=(),
+                               policy=remat_policy)
 
     def _slice_consts(consts, mb_idx):
         def sl(leaf):
