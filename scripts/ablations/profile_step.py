@@ -71,8 +71,9 @@ def main():
 
     trace_dir = "/tmp/zt_profile_%s" % variant
     os.system("rm -rf %s" % trace_dir)
+    n_steps = int(os.environ.get("PROFILE_STEPS", "10"))
     with jax.profiler.trace(trace_dir):
-        for i in range(10):
+        for i in range(n_steps):
             state, metrics = step_fn(state, db, 1e-4,
                                      jax.random.fold_in(rng, 100 + i))
         float(metrics["pnorm"])
