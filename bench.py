@@ -601,8 +601,9 @@ def _run_child(name: str) -> None:
 
 # generous per-config watchdog: deep-30L compiles ~4 min on the tunnel;
 # smoke children share a possibly-loaded 1-core CI host, so generous there
-# too (r4: 240 s flaked under a concurrent pytest run)
-CHILD_TIMEOUT_S = 420.0 if SMOKE else 1200.0
+# too (r4: 240 s then 420 s both flaked when a concurrent compile-heavy
+# job shared the core)
+CHILD_TIMEOUT_S = 900.0 if SMOKE else 1200.0
 
 
 def _spawn_config(name: str) -> dict:

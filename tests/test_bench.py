@@ -21,7 +21,7 @@ def test_bench_smoke(tmp_path):
     env["BENCH_SMOKE"] = "1"
     r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                        cwd=tmp_path, env=env, capture_output=True,
-                       text=True, timeout=900)
+                       text=True, timeout=2700)
     assert r.returncode == 0, r.stderr[-3000:]
     json_lines = [ln for ln in r.stdout.splitlines()
                   if ln.startswith("{") and ln.endswith("}")]
