@@ -9,24 +9,41 @@ see below) -- the kernel pays off at long-sequence inputs (speech
 encoders, 1k-4k frames) where XLA materialises multi-MB score tensors.
 
 Design:
-  * grid (B*H, Lq/BQ); keys/values for the whole sequence stay resident
-    per head, queries stream in BQ-row blocks
+  * grid (B*H/G, Lq/BQ): G heads are processed per grid step (statically
+    unrolled), so short sequences don't degenerate into thousands of
+    tiny grid steps -- at MT shapes (B=256 H=8 L=128) the r3 kernel ran
+    a (2048, 1) grid whose per-step overhead lost to XLA; G=8 folds a
+    whole batch row's heads into one step. G is the largest divisor of
+    H whose G*BQ*Lk score block fits the VMEM budget, so long-sequence
+    shapes keep G=1 and behave exactly as before.
+  * keys/values for the whole sequence stay resident per head, queries
+    stream in BQ-row blocks
   * padding mask [B, Lk] broadcast per head via the index map; causal
     masking via 2D iota against the block's absolute row offset
-  * softmax in fp32 with explicit max-subtraction; logsumexp saved as a
-    residual for the backward pass
-  * attention dropout with the in-kernel PRNG, seeded per (head, q-block)
-    so the backward kernel regenerates the identical mask
+  * matmuls run in the INPUT dtype with fp32 accumulation
+    (preferred_element_type): bf16 activations hit the MXU's native
+    path instead of the multi-pass fp32x fp32 mode the r3 kernel paid
+    for by up-casting q/k/v before the dots. Softmax statistics stay
+    fp32 (this is at least as precise as the XLA composite, whose bf16
+    einsum rounds the logits BEFORE the fp32 cast). The backward
+    recomputes the softmax directly (whole key rows are block-resident)
+    rather than reconstructing from a logsumexp residual, which is
+    bit-identical to the forward and immune to the fully-masked-row
+    cancellation (_softmax_weights)
+  * attention dropout with the in-kernel PRNG, seeded per (head-group,
+    q-block) so the backward kernel regenerates the identical mask
   * custom VJP: dq is computed per q-block; dk/dv accumulate across the
     q-block grid axis into a revisited output block (zero-initialised at
     the first block) -- standard softmax-backward algebra, all matmuls on
     the MXU with fp32 accumulation
 
-Measured status (TPU v5e, 2026-08): forward bit-matches the XLA reference
-and gradients agree to matmul precision. Inside a compiled train step XLA
-wins at MT lengths (tiny per-head matmuls under-utilise the MXU), so
-use_flash_attention defaults to False for text models; the query-blocked
-form targets the long-sequence speech path.
+Measured status (TPU v5e, 2026-08): the r4 head-grouping + native-dtype
+dots lift the long-sequence win (fwd+bwd 1.29x @ L1024, 1.80x @ L4096,
+1.27x causal @ L1024 vs XLA dense) but XLA still wins INSIDE the
+compiled MT train step (base B=256 L=128: 231.0k tok/s XLA vs 205.7k
+kernel — XLA fuses the small per-head matmuls into the surrounding
+graph in ways a standalone kernel cannot). use_flash_attention stays
+default-False for text and on in the speech preset; see docs/kernels.md.
 """
 
 from __future__ import annotations
@@ -55,6 +72,16 @@ def _pick_block(lq: int, lk: int) -> Optional[int]:
     return None
 
 
+def _pick_group(h: int, bq: int, lk: int) -> int:
+    """Heads per grid step: largest divisor of h whose stacked score
+    block still fits the budget. Long sequences resolve to 1."""
+    g = 1
+    for cand in (2, 4, 8, 16):
+        if h % cand == 0 and cand * bq * lk <= MAX_BLOCK_SCORE_ELEMS:
+            g = cand
+    return g
+
+
 def supported(lq: int, lk: int) -> bool:
     return lk <= MAX_LK and _pick_block(lq, lk) is not None
 
@@ -71,18 +98,22 @@ def _dropout_keep(shape, rate: float):
     return bits < threshold
 
 
-def _scores(q_ref, k_ref, mask_ref, scale, causal, bq):
-    q = q_ref[0].astype(jnp.float32)             # [BQ, Dh]
-    k = k_ref[0].astype(jnp.float32)             # [Lk, Dh]
-    lk = k.shape[0]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    keep = mask_ref[0, 0, :] > 0
-    s = jnp.where(keep[None, :], s, NEG_INF)
+def _scores(q_ref, k_ref, mask_ref, scale, causal, bq, g):
+    """Stacked masked scores [G, BQ, Lk] fp32 (dots in input dtype) and
+    the combined keep mask [BQ, Lk] (pad AND causal)."""
+    lk = k_ref.shape[1]
+    per_head = [
+        jax.lax.dot_general(q_ref[gi], k_ref[gi], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        for gi in range(g)
+    ]
+    s = jnp.stack(per_head) * scale              # [G, BQ, Lk]
+    keep = jnp.broadcast_to(mask_ref[0, 0, :][None, :] > 0, (bq, lk))
     if causal:
         row_offset = pl.program_id(1) * bq
-        s = jnp.where(_causal_keep(bq, lk, row_offset), s, NEG_INF)
-    return s
+        keep = keep & _causal_keep(bq, lk, row_offset)
+    s = jnp.where(keep[None], s, NEG_INF)
+    return s, keep
 
 
 def _block_seed(seed_ref):
@@ -90,37 +121,40 @@ def _block_seed(seed_ref):
         + pl.program_id(1)
 
 
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
-                scale: float, causal: bool, dropout_rate: float, bq: int):
-    s = _scores(q_ref, k_ref, mask_ref, scale, causal, bq)
-    v = v_ref[0].astype(jnp.float32)
-
+def _softmax_weights(s):
+    # direct max-sub softmax; the backward recomputes this IDENTICALLY
+    # instead of reconstructing from a logsumexp residual -- the lse form
+    # exp(s - lse) catastrophically cancels on fully-masked rows (all-pad
+    # batch rows are legal everywhere): lse = NEG_INF + log(lk) rounds to
+    # NEG_INF in fp32 and every weight reconstructs as 1.0 instead of 1/lk
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    w = p / l
-    lse_ref[0, 0, :] = (m + jnp.log(l))[:, 0]
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
+                scale: float, causal: bool, dropout_rate: float, bq: int,
+                g: int):
+    s, _ = _scores(q_ref, k_ref, mask_ref, scale, causal, bq, g)
+    w = _softmax_weights(s)
 
     if dropout_rate > 0.0:
         pltpu.prng_seed(_block_seed(seed_ref))
         dmask = _dropout_keep(s.shape, dropout_rate)
         w = jnp.where(dmask, w / (1.0 - dropout_rate), 0.0)
 
-    o = jax.lax.dot_general(w, v, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    o_ref[0] = o.astype(o_ref.dtype)
+    wv = w.astype(v_ref.dtype)
+    for gi in range(g):
+        o = jax.lax.dot_general(wv[gi], v_ref[gi], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[gi] = o.astype(o_ref.dtype)
 
 
-def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, lse_ref, do_ref,
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *, scale: float, causal: bool,
-                dropout_rate: float, bq: int):
-    s = _scores(q_ref, k_ref, mask_ref, scale, causal, bq)
-    q = q_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, 0, :][:, None]
-    w = jnp.exp(s - lse)                         # softmax weights
+                dropout_rate: float, bq: int, g: int):
+    s, keep = _scores(q_ref, k_ref, mask_ref, scale, causal, bq, g)
+    w = _softmax_weights(s)                      # softmax weights [G,BQ,Lk]
 
     if dropout_rate > 0.0:
         pltpu.prng_seed(_block_seed(seed_ref))
@@ -130,34 +164,49 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, lse_ref, do_ref,
     else:
         w_d = w
 
+    in_dtype = q_ref.dtype
+    w_d_c = w_d.astype(in_dtype)
     # dv += w_d^T @ do ; dw_d = do @ v^T
-    dv = jax.lax.dot_general(w_d, do, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    dw_d = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+    dw_d = jnp.stack([
+        jax.lax.dot_general(do_ref[gi], v_ref[gi], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        for gi in range(g)
+    ])
     if dropout_rate > 0.0:
         dw = jnp.where(dmask, dw_d * inv, 0.0)
     else:
         dw = dw_d
     row = jnp.sum(dw * w, axis=-1, keepdims=True)
     ds = w * (dw - row)
+    # zero ds at masked entries: a no-op for partially-masked rows (w is
+    # exactly 0 there) but required for FULLY-masked rows (all-pad batch
+    # rows), where w is uniform and XLA's where-VJP kills the gradient
+    ds = jnp.where(keep[None], ds, 0.0)
+    ds_c = ds.astype(in_dtype)
 
-    dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32) * scale
-    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32) * scale
-
-    dq_ref[0] = dq.astype(dq_ref.dtype)
     # dk/dv blocks are revisited across the q-block grid axis: accumulate
     @pl.when(pl.program_id(1) == 0)
     def _init():
-        dk_ref[0] = jnp.zeros_like(dk_ref[0])
-        dv_ref[0] = jnp.zeros_like(dv_ref[0])
-    dk_ref[0] += dk.astype(dk_ref.dtype)
-    dv_ref[0] += dv.astype(dv_ref.dtype)
+        dk_ref[...] = jnp.zeros(dk_ref.shape, dk_ref.dtype)
+        dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
+    for gi in range(g):
+        dq = jax.lax.dot_general(ds_c[gi], k_ref[gi],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds_c[gi], q_ref[gi],
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        dv = jax.lax.dot_general(w_d_c[gi], do_ref[gi],
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dq_ref[gi] = dq.astype(dq_ref.dtype)
+        dk_ref[gi] += dk.astype(dk_ref.dtype)
+        dv_ref[gi] += dv.astype(dv_ref.dtype)
 
 
-def _specs(heads, bq, lk, dh):
+def _specs(heads, bq, lk, dh, g):
+    groups_per_batch = heads // g
+
     # with PrefetchScalarGridSpec, index maps also receive the scalar refs
     def q_map(i, j, *_):
         return (i, j, 0)
@@ -166,22 +215,17 @@ def _specs(heads, bq, lk, dh):
         return (i, 0, 0)
 
     def mask_map(i, j, *_):
-        return (i // heads, 0, 0)
+        return (i // groups_per_batch, 0, 0)
 
-    def lse_map(i, j, *_):
-        return (i, 0, j)
-
-    q_spec = pl.BlockSpec((1, bq, dh), q_map, memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((1, lk, dh), kv_map, memory_space=pltpu.VMEM)
+    q_spec = pl.BlockSpec((g, bq, dh), q_map, memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((g, lk, dh), kv_map, memory_space=pltpu.VMEM)
     mask_spec = pl.BlockSpec((1, 1, lk), mask_map, memory_space=pltpu.VMEM)
-    lse_spec = pl.BlockSpec((1, 1, bq), lse_map, memory_space=pltpu.VMEM)
-    return q_spec, kv_spec, mask_spec, lse_spec
+    return q_spec, kv_spec, mask_spec
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def _fused_attention(q, k, v, pad_mask, seed, causal, dropout_rate):
-    o, _ = _fused_forward(q, k, v, pad_mask, causal, dropout_rate, seed)
-    return o
+    return _fused_forward(q, k, v, pad_mask, causal, dropout_rate, seed)
 
 
 def _fused_forward(q, k, v, pad_mask, causal, dropout_rate, seed):
@@ -191,55 +235,56 @@ def _fused_forward(q, k, v, pad_mask, causal, dropout_rate, seed):
     bh = b * h
     bq = _pick_block(lq, lk)
     nq = lq // bq
+    g = _pick_group(h, bq, lk)
 
     q3 = q.reshape(bh, lq, dh)
     k3 = k.reshape(bh, lk, dh)
     v3 = v.reshape(bh, lk, dh)
 
-    q_spec, kv_spec, mask_spec, lse_spec = _specs(h, bq, lk, dh)
+    q_spec, kv_spec, mask_spec = _specs(h, bq, lk, dh, g)
     kernel = functools.partial(_fwd_kernel, scale=scale, causal=causal,
-                               dropout_rate=dropout_rate, bq=bq)
+                               dropout_rate=dropout_rate, bq=bq, g=g)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bh, nq),
+        grid=(bh // g, nq),
         in_specs=[q_spec, kv_spec, kv_spec, mask_spec],
-        out_specs=[q_spec, lse_spec],
+        out_specs=q_spec,
     )
-    o, lse = pl.pallas_call(
+    o = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((bh, lq, dh), q.dtype),
-                   jax.ShapeDtypeStruct((bh, 1, lq), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((bh, lq, dh), q.dtype),
     )(seed, q3, k3, v3, pad_mask[:, None, :])
-    return o.reshape(b, h, lq, dh), lse
+    return o.reshape(b, h, lq, dh)
 
 
 def _fused_fwd_rule(q, k, v, pad_mask, seed, causal, dropout_rate):
-    o, lse = _fused_forward(q, k, v, pad_mask, causal, dropout_rate, seed)
-    return o, (q, k, v, pad_mask, lse, seed)
+    o = _fused_forward(q, k, v, pad_mask, causal, dropout_rate, seed)
+    return o, (q, k, v, pad_mask, seed)
 
 
 def _fused_bwd_rule(causal, dropout_rate, residuals, g):
-    q, k, v, pad_mask, lse, seed = residuals
+    q, k, v, pad_mask, seed = residuals
     b, h, lq, dh = q.shape
     lk = k.shape[2]
     scale = dh ** -0.5
     bh = b * h
     bq = _pick_block(lq, lk)
     nq = lq // bq
+    grp = _pick_group(h, bq, lk)
 
     q3 = q.reshape(bh, lq, dh)
     k3 = k.reshape(bh, lk, dh)
     v3 = v.reshape(bh, lk, dh)
     do3 = g.reshape(bh, lq, dh)
 
-    q_spec, kv_spec, mask_spec, lse_spec = _specs(h, bq, lk, dh)
+    q_spec, kv_spec, mask_spec = _specs(h, bq, lk, dh, grp)
     kernel = functools.partial(_bwd_kernel, scale=scale, causal=causal,
-                               dropout_rate=dropout_rate, bq=bq)
+                               dropout_rate=dropout_rate, bq=bq, g=grp)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bh, nq),
-        in_specs=[q_spec, kv_spec, kv_spec, mask_spec, lse_spec, q_spec],
+        grid=(bh // grp, nq),
+        in_specs=[q_spec, kv_spec, kv_spec, mask_spec, q_spec],
         out_specs=[q_spec, kv_spec, kv_spec],
     )
     dq, dk, dv = pl.pallas_call(
@@ -248,7 +293,7 @@ def _fused_bwd_rule(causal, dropout_rate, residuals, g):
         out_shape=[jax.ShapeDtypeStruct((bh, lq, dh), q.dtype),
                    jax.ShapeDtypeStruct((bh, lk, dh), jnp.float32),
                    jax.ShapeDtypeStruct((bh, lk, dh), jnp.float32)],
-    )(seed, q3, k3, v3, pad_mask[:, None, :], lse, do3)
+    )(seed, q3, k3, v3, pad_mask[:, None, :], do3)
     return (dq.reshape(b, h, lq, dh),
             dk.reshape(b, h, lk, dh).astype(k.dtype),
             dv.reshape(b, h, lk, dh).astype(v.dtype),
