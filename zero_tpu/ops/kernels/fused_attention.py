@@ -9,13 +9,14 @@ see below) -- the kernel pays off at long-sequence inputs (speech
 encoders, 1k-4k frames) where XLA materialises multi-MB score tensors.
 
 Design:
-  * grid (B*H/G, Lq/BQ): G heads are processed per grid step (statically
-    unrolled), so short sequences don't degenerate into thousands of
-    tiny grid steps -- at MT shapes (B=256 H=8 L=128) the r3 kernel ran
-    a (2048, 1) grid whose per-step overhead lost to XLA; G=8 folds a
-    whole batch row's heads into one step. G is the largest divisor of
-    H whose G*BQ*Lk score block fits the VMEM budget, so long-sequence
-    shapes keep G=1 and behave exactly as before.
+  * grid (B*H/G, Lq/BQ): G rows of the flattened [B*H] axis are
+    processed per grid step through row-batched dots, so short
+    sequences don't degenerate into thousands of tiny grid steps -- at
+    MT shapes (B=256 H=8 L=128) the r3 kernel ran a (2048, 1) grid
+    whose per-step overhead lost badly to XLA. G can span whole batch
+    rows (G % H == 0), in which case the mask block carries one row per
+    covered batch row. G is capped by GROUP_SCORE_BUDGET, so
+    long-sequence shapes keep G=1 and behave exactly as before.
   * keys/values for the whole sequence stay resident per head, queries
     stream in BQ-row blocks
   * padding mask [B, Lk] broadcast per head via the index map; causal
@@ -72,12 +73,34 @@ def _pick_block(lq: int, lk: int) -> Optional[int]:
     return None
 
 
-def _pick_group(h: int, bq: int, lk: int) -> int:
-    """Heads per grid step: largest divisor of h whose stacked score
-    block still fits the budget. Long sequences resolve to 1."""
+# rows-per-step score budget. Scores/weights are fp32 [G, BQ, Lk] plus
+# dropout masks and dot outputs, all live in VMEM at once, so the
+# grouping budget is tighter than the single-row block budget above.
+# 256k is the largest the BACKWARD compiles at (g=32 at MT shapes blew
+# VMEM, v5e 2026-08); larger groups also measured speed-neutral (the
+# per-step overhead stops mattering past g=8 — the residual MT-shape
+# cost is the dh=64 lane geometry, not grid overhead).
+GROUP_SCORE_BUDGET = 256 * 1024
+_GROUP_OVERRIDE: Optional[int] = None  # experiments only
+
+
+def _pick_group(h: int, bq: int, lk: int, bh: int) -> int:
+    """Rows of the flattened [B*H] axis processed per grid step: the
+    largest candidate whose stacked score block fits the group budget.
+    Below h the group is a divisor of one batch row's heads; above h it
+    spans whole batch rows (g % h == 0), so the per-row pad masks stay
+    recoverable from the block index. Long sequences resolve to 1."""
+    if _GROUP_OVERRIDE is not None:
+        return _GROUP_OVERRIDE
     g = 1
-    for cand in (2, 4, 8, 16):
-        if h % cand == 0 and cand * bq * lk <= MAX_BLOCK_SCORE_ELEMS:
+    for cand in (2, 4, 8, 16, 32, 64, 128):
+        if cand * bq * lk > GROUP_SCORE_BUDGET:
+            break
+        if cand <= h:
+            ok = h % cand == 0
+        else:
+            ok = cand % h == 0 and bh % cand == 0
+        if ok:
             g = cand
     return g
 
@@ -98,21 +121,42 @@ def _dropout_keep(shape, rate: float):
     return bits < threshold
 
 
+def _bdot(a, b, ca: int, cb: int):
+    """Row-batched dot: contract a's dim ca with b's dim cb, batch dim 0,
+    fp32 accumulation in the input dtype's MXU path. A G=1 batch lowers
+    measurably worse than the plain 2D dot (L1024 fwd+bwd 9.98 vs
+    6.97 ms, v5e), so single-row blocks drop the batch dim."""
+    if a.shape[0] == 1:
+        o = jax.lax.dot_general(a[0], b[0], (((ca - 1,), (cb - 1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return o[None]
+    return jax.lax.dot_general(a, b, (((ca,), (cb,)), ((0,), (0,))),
+                               preferred_element_type=jnp.float32)
+
+
 def _scores(q_ref, k_ref, mask_ref, scale, causal, bq, g):
     """Stacked masked scores [G, BQ, Lk] fp32 (dots in input dtype) and
-    the combined keep mask [BQ, Lk] (pad AND causal)."""
+    the combined keep mask ([G, 1, Lk] or [G, BQ, Lk], pad AND causal).
+
+    mask_ref block is [M, 1, Lk]: M = 1 when the group is within one
+    batch row (every row shares the mask), M = G/H when the group spans
+    whole batch rows (H consecutive rows share each mask row)."""
     lk = k_ref.shape[1]
-    per_head = [
-        jax.lax.dot_general(q_ref[gi], k_ref[gi], (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-        for gi in range(g)
-    ]
-    s = jnp.stack(per_head) * scale              # [G, BQ, Lk]
-    keep = jnp.broadcast_to(mask_ref[0, 0, :][None, :] > 0, (bq, lk))
+    s = _bdot(q_ref[...], k_ref[...], 2, 2) * scale   # [G, BQ, Lk]
+    m = mask_ref.shape[0]
+    if m == 1:
+        keep = jnp.broadcast_to(mask_ref[0, 0, :][None, None, :] > 0,
+                                (g, 1, lk))
+    else:
+        rows_per_mask = g // m
+        keep = jnp.concatenate(
+            [jnp.broadcast_to(mask_ref[mi, 0, :][None, None, :] > 0,
+                              (rows_per_mask, 1, lk)) for mi in range(m)],
+            axis=0)
     if causal:
         row_offset = pl.program_id(1) * bq
-        keep = keep & _causal_keep(bq, lk, row_offset)
-    s = jnp.where(keep[None], s, NEG_INF)
+        keep = keep & _causal_keep(bq, lk, row_offset)[None]
+    s = jnp.where(keep, s, NEG_INF)
     return s, keep
 
 
@@ -143,11 +187,8 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
         dmask = _dropout_keep(s.shape, dropout_rate)
         w = jnp.where(dmask, w / (1.0 - dropout_rate), 0.0)
 
-    wv = w.astype(v_ref.dtype)
-    for gi in range(g):
-        o = jax.lax.dot_general(wv[gi], v_ref[gi], (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        o_ref[gi] = o.astype(o_ref.dtype)
+    o = _bdot(w.astype(v_ref.dtype), v_ref[...], 2, 1)   # [G, BQ, Dh]
+    o_ref[...] = o.astype(o_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
@@ -167,11 +208,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
     in_dtype = q_ref.dtype
     w_d_c = w_d.astype(in_dtype)
     # dv += w_d^T @ do ; dw_d = do @ v^T
-    dw_d = jnp.stack([
-        jax.lax.dot_general(do_ref[gi], v_ref[gi], (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-        for gi in range(g)
-    ])
+    dw_d = _bdot(do_ref[...], v_ref[...], 2, 2)          # [G, BQ, Lk]
     if dropout_rate > 0.0:
         dw = jnp.where(dmask, dw_d * inv, 0.0)
     else:
@@ -181,32 +218,24 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
     # zero ds at masked entries: a no-op for partially-masked rows (w is
     # exactly 0 there) but required for FULLY-masked rows (all-pad batch
     # rows), where w is uniform and XLA's where-VJP kills the gradient
-    ds = jnp.where(keep[None], ds, 0.0)
+    ds = jnp.where(keep, ds, 0.0)
     ds_c = ds.astype(in_dtype)
 
+    dq = _bdot(ds_c, k_ref[...], 2, 1) * scale           # [G, BQ, Dh]
+    dk = _bdot(ds_c, q_ref[...], 1, 1) * scale           # [G, Lk, Dh]
+    dv = _bdot(w_d_c, do_ref[...], 1, 1)                 # [G, Lk, Dh]
+
+    dq_ref[...] = dq.astype(dq_ref.dtype)
     # dk/dv blocks are revisited across the q-block grid axis: accumulate
     @pl.when(pl.program_id(1) == 0)
     def _init():
         dk_ref[...] = jnp.zeros(dk_ref.shape, dk_ref.dtype)
         dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
-    for gi in range(g):
-        dq = jax.lax.dot_general(ds_c[gi], k_ref[gi],
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32) * scale
-        dk = jax.lax.dot_general(ds_c[gi], q_ref[gi],
-                                 (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32) * scale
-        dv = jax.lax.dot_general(w_d_c[gi], do_ref[gi],
-                                 (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        dq_ref[gi] = dq.astype(dq_ref.dtype)
-        dk_ref[gi] += dk.astype(dk_ref.dtype)
-        dv_ref[gi] += dv.astype(dv_ref.dtype)
+    dk_ref[...] += dk.astype(dk_ref.dtype)
+    dv_ref[...] += dv.astype(dv_ref.dtype)
 
 
 def _specs(heads, bq, lk, dh, g):
-    groups_per_batch = heads // g
-
     # with PrefetchScalarGridSpec, index maps also receive the scalar refs
     def q_map(i, j, *_):
         return (i, j, 0)
@@ -214,12 +243,23 @@ def _specs(heads, bq, lk, dh, g):
     def kv_map(i, j, *_):
         return (i, 0, 0)
 
-    def mask_map(i, j, *_):
-        return (i // groups_per_batch, 0, 0)
+    if g <= heads:
+        groups_per_batch = heads // g
+        mask_block = (1, 1, lk)
+
+        def mask_map(i, j, *_):
+            return (i // groups_per_batch, 0, 0)
+    else:
+        # group spans g // heads whole batch rows; block i covers exactly
+        # the mask rows of those batch rows
+        mask_block = (g // heads, 1, lk)
+
+        def mask_map(i, j, *_):
+            return (i, 0, 0)
 
     q_spec = pl.BlockSpec((g, bq, dh), q_map, memory_space=pltpu.VMEM)
     kv_spec = pl.BlockSpec((g, lk, dh), kv_map, memory_space=pltpu.VMEM)
-    mask_spec = pl.BlockSpec((1, 1, lk), mask_map, memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec(mask_block, mask_map, memory_space=pltpu.VMEM)
     return q_spec, kv_spec, mask_spec
 
 
@@ -235,7 +275,7 @@ def _fused_forward(q, k, v, pad_mask, causal, dropout_rate, seed):
     bh = b * h
     bq = _pick_block(lq, lk)
     nq = lq // bq
-    g = _pick_group(h, bq, lk)
+    g = _pick_group(h, bq, lk, bh)
 
     q3 = q.reshape(bh, lq, dh)
     k3 = k.reshape(bh, lk, dh)
@@ -271,7 +311,7 @@ def _fused_bwd_rule(causal, dropout_rate, residuals, g):
     bh = b * h
     bq = _pick_block(lq, lk)
     nq = lq // bq
-    grp = _pick_group(h, bq, lk)
+    grp = _pick_group(h, bq, lk, bh)
 
     q3 = q.reshape(bh, lq, dh)
     k3 = k.reshape(bh, lk, dh)
