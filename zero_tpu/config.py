@@ -290,14 +290,14 @@ def default_config() -> Config:
         mesh_expert=1,
         # ZeRO optimizer-state/param sharding stage: 0 = off; 1 shards
         # the Adam moments + EMA over the 'data' axis (1/data_par per
-        # chip instead of replicated; mesh.py:zero1_sharding); 3 also
+        # chip instead of replicated; mesh.py:zero1_sharding); 2 also
+        # pins the GRADIENT tree (including the gradient-accumulation
+        # scan carry) to that layout, so the DP reduction lowers to a
+        # reduce-scatter and no replicated grad tree persists; 3 also
         # shards the PARAMS over 'data' (FSDP: per-use weight
-        # all-gathers + grad reduce-scatter, params 1/data_par per
-        # chip). Update math is unchanged -- GSPMD derives the
-        # reduce/gather schedule from the layout. Stage 2 (sharded
-        # gradients) is structural under GSPMD: grads reduce-scatter
-        # straight into the stage-1 moment layout, so 2 runs as 1 (with
-        # stage-2 semantics) and logs that it did.
+        # all-gathers, params 1/data_par per chip). Update math is
+        # unchanged -- GSPMD derives the reduce/gather schedule from
+        # the layout.
         zero_stage=0,
         # sharded checkpoints (saver.py sharded-v1): each host writes only
         # its own shards of cross-host-sharded state instead of

@@ -119,19 +119,14 @@ def make_train_step(model, cfg, mesh=None, donate: bool = True):
     zstage = int(getattr(cfg, "zero_stage", 0)) if mesh is not None else 0
     dp_on = mesh is not None and int(mesh.shape.get("data", 1)) > 1
     zero1 = zstage >= 1 and dp_on
+    # ZeRO-2 = ZeRO-1 + gradients pinned to the moment shard layout: the
+    # DP reduction lowers to a reduce-scatter (each chip keeps only its
+    # 1/data_par grad shard), the gnorm/clip/Adam math runs on shards,
+    # and with gradient accumulation the scan CARRY itself is sharded,
+    # so no replicated gradient tree ever persists. Params stay
+    # replicated (that is stage 3's job).
+    zero2 = zstage >= 2 and dp_on
     zero3 = zstage >= 3 and dp_on
-    if zstage == 2 and dp_on:
-        # ZeRO-2 = ZeRO-1 + sharded gradients. Under GSPMD the gradient
-        # sharding is structural, not a separate mode: with the moments
-        # laid out 1/data_par per chip, XLA reduces each microbatch grad
-        # DIRECTLY into the sharded moment layout (reduce-scatter), so no
-        # replicated gradient tree ever persists. Stage 2 therefore runs
-        # the stage-1 layout and already has stage-2 semantics.
-        import logging
-        logging.getLogger("zero_tpu.train_step").info(
-            "zero_stage=2: gradient sharding is structural under GSPMD "
-            "(grads reduce-scatter into the 'data'-sharded moments); "
-            "running the ZeRO-1 layout, which carries stage-2 semantics")
 
     robt_on = bool(getattr(cfg, "robt", False))
     if robt_on:
@@ -155,6 +150,12 @@ def make_train_step(model, cfg, mesh=None, donate: bool = True):
         params = state.params
         cycles = next(iter(batch.values())).shape[0]
 
+        zspec = pspec = None
+        if zero1:
+            pspec = mesh_lib.param_sharding(params, mesh,
+                                            warn_unsharded=False)
+            zspec = mesh_lib.zero1_sharding(params, mesh, pspec)
+
         grad_fn = jax.value_and_grad(loss_fn)
 
         if cycles == 1:
@@ -165,30 +166,34 @@ def make_train_step(model, cfg, mesh=None, donate: bool = True):
                 gsum, lsum = carry
                 feats, key = xs
                 l, g = grad_fn(params, feats, key, state.step)
-                return (jax.tree.map(jnp.add, gsum, g), lsum + l), None
+                gsum = jax.tree.map(jnp.add, gsum, g)
+                if zero2 and zspec is not None:
+                    # ZeRO-2: the accumulator is sharded, so each
+                    # microbatch grad reduce-scatters into it and the
+                    # carried tree is 1/data_par per chip
+                    gsum = jax.lax.with_sharding_constraint(gsum, zspec)
+                return (gsum, lsum + l), None
 
             zero_g = jax.tree.map(jnp.zeros_like, params)
+            if zero2 and zspec is not None:
+                zero_g = jax.lax.with_sharding_constraint(zero_g, zspec)
             keys = jax.random.split(rng, cycles)
             (gsum, lsum), _ = jax.lax.scan(
                 micro, (zero_g, jnp.zeros((), jnp.float32)), (batch, keys))
             grads = jax.tree.map(lambda g: g / cycles, gsum)
             loss = lsum / cycles
 
+        if zero2 and zspec is not None:
+            # ZeRO-2/3: pin the grads to the moment layout so the DP grad
+            # reduction lowers to one reduce-scatter (each chip keeps only
+            # its own shard) instead of all-reduce-then-slice; the
+            # gnorm/clip below run on the shards (psum of partial squares)
+            grads = jax.lax.with_sharding_constraint(grads, zspec)
+
         gnorm = optax.global_norm(grads)
         if clip_norm > 0:
             scale = jnp.minimum(1.0, clip_norm / jnp.maximum(gnorm, 1e-12))
             grads = jax.tree.map(lambda g: g * scale, grads)
-
-        zspec = pspec = None
-        if zero1:
-            pspec = mesh_lib.param_sharding(params, mesh,
-                                            warn_unsharded=False)
-            zspec = mesh_lib.zero1_sharding(params, mesh, pspec)
-        if zero3 and zspec is not None:
-            # ZeRO-3: pin the grads to the moment layout so the DP grad
-            # reduction lowers to one reduce-scatter (each chip keeps only
-            # its own shard) instead of all-reduce-then-slice
-            grads = jax.lax.with_sharding_constraint(grads, zspec)
         updates, new_opt_state = tx.update(grads, state.opt_state, params)
         if zspec is not None and isinstance(new_opt_state,
                                             optax.ScaleByAdamState):
