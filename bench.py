@@ -35,7 +35,7 @@ SMOKE = bool(int(os.environ.get("BENCH_SMOKE", "0")))
 WARMUP_STEPS = 2
 STEPS_PER_WINDOW = 2 if SMOKE else 12
 N_WINDOWS = 1 if SMOKE else 3
-TIME_BUDGET_S = 2700.0  # skip remaining configs past this
+TIME_BUDGET_S = 1200.0  # stop spawning new families past this
 
 # bf16 peak FLOP/s by TPU generation (public spec sheets)
 _PEAKS = (("v6", 918e12), ("v5p", 459e12), ("v5", 197e12), ("v4", 275e12))
@@ -561,17 +561,69 @@ def _config_registry():
     return reg
 
 
-def _run_child(name: str) -> None:
-    """Child mode: run ONE config in this (fresh) process and print its
-    result dict as the last stdout line. A fresh process per config is
-    the fix for BENCH_r03's RESOURCE_EXHAUSTED deaths: jax.clear_caches()
-    between configs demonstrably did not reclaim enough chip state, so
-    late configs inherited a degraded TPU client."""
+# --- evidence-streaming harness (VERDICT r4 #1) ---------------------------
+#
+# r4's driver run was killed by its timeout with an EMPTY tail: the old
+# parent printed its one summary line and wrote BENCH_DETAILS.json only
+# after ALL configs finished, so a timeout anywhere lost everything even
+# though every finished child's result was in hand. The r5 protocol:
+#   * configs are grouped into FAMILIES, one fresh child process per
+#     family (one TPU-client init + persistent-cache session per family;
+#     r4's one-process-per-CONFIG multiplied init+compile cost ~17x,
+#     which is what blew the driver budget);
+#   * a child prints one JSON line per config THE MOMENT it finishes;
+#     the parent consumes those live, rewrites BENCH_DETAILS.json after
+#     every config, and prints a full CUMULATIVE summary line (the same
+#     schema as the final line) after every config -- so a kill at any
+#     instant leaves the last stdout line a complete, parseable summary
+#     of everything measured so far;
+#   * per-family watchdogs replace the single generous per-config one;
+#     a family timeout keeps the configs that already streamed out.
+
+FAMILIES = [
+    # (family, configs, timeout_s) -- ordered by evidence value: the
+    # headline + north-star decode first, then the never-yet-captured
+    # r3/r4 gaps (rela train, moe, l0drop L1024), then the rest.
+    ("train_base", ["transformer_base_train"], 480),
+    ("decode", ["transformer_base_decode_beam4",
+                "transformer_aan_decode_beam4",
+                "transformer_rela_decode_beam4",
+                "transformer_base_decode_beam4_b64",
+                "transformer_base_decode_beam4_b128",
+                "transformer_base_decode_beam4_b256",
+                "transformer_base_decode_beam4_b1"], 700),
+    ("train_rela", ["transformer_rela_train"], 420),
+    ("train_moe", ["transformer_moe_train"], 540),
+    ("l0drop_decode", ["l0drop_decode_full_L1024",
+                       "l0drop_decode_compact25_L1024",
+                       "l0drop_decode_full_L128",
+                       "l0drop_decode_compact50_L128"], 700),
+    ("train_big", ["transformer_big_train"], 540),
+    ("train_rpr", ["transformer_rpr_train"], 420),
+    ("afs", ["afs_speech_train"], 540),
+    ("train_deep", ["deep20_fuse_train", "deep30_fuse_train"], 1000),
+]
+SMOKE_FAMILIES = [
+    ("train_base", ["transformer_base_train"], 900),
+    ("decode", ["transformer_base_decode_beam4",
+                "transformer_aan_decode_beam4"], 900),
+]
+
+
+def _run_child(names) -> None:
+    """Child mode: run the given configs sequentially in this (fresh)
+    process, printing each result as its own flushed JSON line the moment
+    it finishes. Fresh processes per FAMILY keep the r3 lesson (a
+    degraded TPU client poisons later configs; jax.clear_caches() does
+    not reclaim chip state) without r4's per-config init+compile bill."""
     import signal
+    import sys
 
     def _init_timeout(signum, frame):
-        print(json.dumps({"error": "TPU backend init timed out after "
-                                   "300 s (axon tunnel down?)"}))
+        print(json.dumps({"__config__": names[0],
+                          "error": "TPU backend init timed out after "
+                                   "300 s (axon tunnel down?)"}),
+              flush=True)
         os._exit(0)
 
     signal.signal(signal.SIGALRM, _init_timeout)
@@ -588,74 +640,90 @@ def _run_child(name: str) -> None:
         # hardware PRNG, same policy as run.py:setup_prng
         jax.config.update("jax_default_prng_impl", "rbg")
 
-    try:
-        result = _config_registry()[name]()
-    except Exception as e:
-        result = {"error": "%s: %s" % (type(e).__name__, e)}
-    result.setdefault("device", str(jax.devices()[0]))
-    result.setdefault("device_kind",
-                      getattr(jax.devices()[0], "device_kind", "?"))
-    result.setdefault("peak_flops", device_peak_flops())
-    print(json.dumps(result))
+    registry = _config_registry()
+    for name in names:
+        try:
+            result = registry[name]()
+        except Exception as e:
+            result = {"error": "%s: %s" % (type(e).__name__, e)}
+        result["__config__"] = name
+        result.setdefault("device", str(jax.devices()[0]))
+        result.setdefault("device_kind",
+                          getattr(jax.devices()[0], "device_kind", "?"))
+        result.setdefault("peak_flops", device_peak_flops())
+        print(json.dumps(result), flush=True)
+        sys.stdout.flush()
 
 
-# generous per-config watchdog: deep-30L compiles ~4 min on the tunnel;
-# smoke children share a possibly-loaded 1-core CI host, so generous there
-# too (r4: 240 s then 420 s both flaked when a concurrent compile-heavy
-# job shared the core)
-CHILD_TIMEOUT_S = 900.0 if SMOKE else 1200.0
-
-
-def _spawn_config(name: str) -> dict:
+def _spawn_family(family, names, timeout_s, on_result):
+    """Run one family child, streaming each config line to on_result as
+    it arrives. On watchdog expiry the child is killed (by pid) and the
+    configs that never reported get an explanatory error entry."""
     import subprocess
     import sys
+    import threading
 
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--family", family],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    seen = []
+    stderr_buf = []
+
+    def _read_out():
+        for ln in proc.stdout:
+            ln = ln.strip()
+            if not (ln.startswith("{") and ln.endswith("}")):
+                continue
+            try:
+                result = json.loads(ln)
+            except ValueError:
+                continue
+            name = result.pop("__config__", None)
+            if name:
+                seen.append(name)
+                on_result(name, result)
+
+    def _read_err():
+        for ln in proc.stderr:
+            stderr_buf.append(ln)
+
+    t_out = threading.Thread(target=_read_out, daemon=True)
+    t_err = threading.Thread(target=_read_err, daemon=True)
+    t_out.start()
+    t_err.start()
+    timed_out = False
     try:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--config", name],
-            capture_output=True, text=True, timeout=CHILD_TIMEOUT_S,
-            cwd=os.path.dirname(os.path.abspath(__file__)))
+        proc.wait(timeout=timeout_s)
     except subprocess.TimeoutExpired:
-        return {"error": "config timed out after %.0f s (child killed; "
-                         "the chip gets a fresh client next config)"
-                         % CHILD_TIMEOUT_S}
-    last = [ln for ln in r.stdout.splitlines()
-            if ln.startswith("{") and ln.endswith("}")]
-    if r.returncode != 0 or not last:
-        return {"error": "child rc=%d: %s" % (
-            r.returncode, (r.stderr or r.stdout)[-1500:])}
-    return json.loads(last[-1])
-
-
-def main():
-    # Parent/child split: the parent NEVER initializes a TPU client; each
-    # config runs in its own child process with a clean backend, a
-    # watchdog, and the shared persistent XLA compile cache.
-    import sys
-
-    if len(sys.argv) >= 3 and sys.argv[1] == "--config":
-        _run_child(sys.argv[2])
-        return
-
-    started = time.perf_counter()
-    details = {"configs": {}, "isolation": "one fresh process per config"}
-
-    for name in _config_registry():
-        if time.perf_counter() - started > TIME_BUDGET_S:
-            details["configs"][name] = {"skipped": "time budget exhausted"}
+        timed_out = True
+        proc.kill()
+        proc.wait()
+    t_out.join(timeout=10)
+    t_err.join(timeout=10)
+    for name in names:
+        if name in seen:
             continue
-        result = _spawn_config(name)
-        for key in ("device", "device_kind", "peak_flops"):
-            if key in result:
-                details.setdefault(key, result.pop(key))
-        details["configs"][name] = result
+        if timed_out:
+            on_result(name, {
+                "error": "family '%s' hit its %.0f s watchdog before this "
+                         "config reported (earlier streamed results kept)"
+                         % (family, timeout_s)})
+        else:
+            on_result(name, {
+                "error": "family child rc=%d before this config reported: "
+                         "%s" % (proc.returncode,
+                                 "".join(stderr_buf)[-1500:])})
 
-    cfgs = details["configs"]
+
+def _derive(cfgs):
+    """Idempotent derived metrics over whatever has been measured so far:
+    serving latency, the decode-scaling curve, and published-ratio
+    comparisons (ReLA vs softmax, L0Drop compaction speedups)."""
 
     def sps(name):
         return cfgs.get(name, {}).get("sentences_per_sec")
 
-    # derived: serving latency, decode-scaling curve, speed ratios
     if sps("transformer_base_decode_beam4_b1"):
         cfgs["transformer_base_decode_beam4_b1"][
             "latency_ms_per_sentence"] = round(
@@ -674,6 +742,8 @@ def main():
             curve,
             b128_over_b32=(round(curve["b128"] / curve["b32"], 3)
                            if "b128" in curve and "b32" in curve else None),
+            b256_over_b64=(round(curve["b256"] / curve["b64"], 3)
+                           if "b256" in curve and "b64" in curve else None),
             non_decreasing_vs_b32=(
                 all(v >= curve["b32"] for v in curve.values())
                 if "b32" in curve else None))
@@ -689,44 +759,89 @@ def main():
     if base_tps and rela_tps:
         cfgs["transformer_rela_train"]["speed_vs_softmax"] = round(
             rela_tps / base_tps, 3)
-    if sps("l0drop_decode_full_L128") and \
-            sps("l0drop_decode_compact50_L128"):
-        cfgs["l0drop_decode_compact50_L128"][
-            "speedup_vs_uncompacted"] = round(
-            sps("l0drop_decode_compact50_L128")
-            / sps("l0drop_decode_full_L128"), 3)
-    if sps("l0drop_decode_full_L1024") and \
-            sps("l0drop_decode_compact25_L1024"):
-        cfgs["l0drop_decode_compact25_L1024"][
-            "speedup_vs_uncompacted"] = round(
-            sps("l0drop_decode_compact25_L1024")
-            / sps("l0drop_decode_full_L1024"), 3)
+    for full, compact in (("l0drop_decode_full_L128",
+                           "l0drop_decode_compact50_L128"),
+                          ("l0drop_decode_full_L1024",
+                           "l0drop_decode_compact25_L1024")):
+        if sps(full) and sps(compact):
+            cfgs[compact]["speedup_vs_uncompacted"] = round(
+                sps(compact) / sps(full), 3)
 
-    details["total_bench_s"] = round(time.perf_counter() - started, 1)
-    with open("BENCH_DETAILS.json", "w") as f:
-        json.dump(details, f, indent=1)
 
+def _summary_line(cfgs):
     base = cfgs.get("transformer_base_train", {})
     per_chip = base.get("tokens_per_sec_per_chip")
-    line = {
+    return {
         "metric": "train_tokens_per_sec_per_chip",
         "value": per_chip,
         "unit": "tokens/s/chip",
         "vs_baseline": (round(per_chip / BASELINE_TOKENS_PER_SEC, 3)
                         if per_chip else None),
         "mfu": base.get("mfu_median"),
-        "decode_beam4_sentences_per_sec": sps(
-            "transformer_base_decode_beam4"),
+        "decode_beam4_sentences_per_sec": cfgs.get(
+            "transformer_base_decode_beam4", {}).get("sentences_per_sec"),
         "configs": {k: {kk: vv for kk, vv in v.items()
                         if kk in ("tokens_per_sec_per_chip", "mfu_median",
                                   "sentences_per_sec",
                                   "frames_per_sec_per_chip", "error",
                                   "skipped", "b128_over_b32",
+                                  "b256_over_b64", "speed_vs_softmax",
+                                  "speedup_vs_uncompacted",
                                   "non_decreasing_vs_b32",
                                   "window_variance_flag")}
                     for k, v in cfgs.items()},
     }
-    print(json.dumps(line))
+
+
+def main():
+    # Parent/child split: the parent NEVER initializes a TPU client; each
+    # FAMILY of configs runs in its own child process with a clean
+    # backend, a watchdog, and the shared persistent XLA compile cache.
+    import sys
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--family":
+        fams = dict((f, c) for f, c, _ in
+                    (SMOKE_FAMILIES if SMOKE else FAMILIES))
+        _run_child(fams[sys.argv[2]])
+        return
+    if len(sys.argv) >= 3 and sys.argv[1] == "--config":
+        _run_child([sys.argv[2]])   # single-config mode for ablation use
+        return
+
+    started = time.perf_counter()
+    details = {"configs": {},
+               "isolation": "one fresh process per config family"}
+    cfgs = details["configs"]
+
+    def on_result(name, result):
+        for key in ("device", "device_kind", "peak_flops"):
+            if key in result:
+                details.setdefault(key, result.pop(key))
+        cfgs[name] = result
+        _derive(cfgs)
+        details["total_bench_s"] = round(time.perf_counter() - started, 1)
+        with open("BENCH_DETAILS.json", "w") as f:
+            json.dump(details, f, indent=1)
+        # cumulative summary after EVERY config: if this run is killed at
+        # any point, the last stdout line is a parseable summary of all
+        # evidence so far (r4's empty-tail failure mode cannot recur)
+        print(json.dumps(_summary_line(cfgs)), flush=True)
+
+    for family, names, timeout_s in (SMOKE_FAMILIES if SMOKE else FAMILIES):
+        elapsed = time.perf_counter() - started
+        if elapsed > TIME_BUDGET_S:
+            for name in names:
+                cfgs[name] = {"skipped": "time budget exhausted"}
+            continue
+        # never let one family push the whole run far past the budget
+        effective = min(timeout_s, max(120.0, TIME_BUDGET_S + 420 - elapsed))
+        _spawn_family(family, names, effective, on_result)
+
+    _derive(cfgs)
+    details["total_bench_s"] = round(time.perf_counter() - started, 1)
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(details, f, indent=1)
+    print(json.dumps(_summary_line(cfgs)), flush=True)
 
 
 if __name__ == "__main__":

@@ -31,10 +31,12 @@ VARIANTS = {
                    attention_dropout=0.0),
     "flash": dict(use_flash_attention=True),
     "big": dict(hidden_size=1024, filter_size=4096, num_heads=16),
-    # the bench_moe config (bench.py): B=128 + remat, scatter dispatch
+    # the bench_moe config (bench.py): B=128 + remat_policy=dots, scatter
+    # dispatch (profiles with full recompute aren't comparable to the
+    # bench number; ADVICE r4)
     "moe": dict(model_name="transformer_moe", scope_name="transformer_moe",
                 moe_num_experts=8, moe_top_k=1, moe_capacity_factor=1.25,
-                use_remat=True),
+                use_remat=True, remat_policy="dots"),
 }
 
 

@@ -1,9 +1,10 @@
 """bench.py harness smoke test (BENCH_SMOKE mode, CPU).
 
 Numbers are meaningless in smoke mode; this guards the harness itself:
-the single JSON stdout line the driver records, the details file, the
-roofline-guard plumbing, and that every smoke-mode config runs without
-error.
+the streaming evidence protocol (one cumulative summary JSON line per
+finished config, so a kill at any instant leaves a parseable tail --
+VERDICT r4 #1), the incrementally rewritten details file, the roofline
+-guard plumbing, and that every smoke-mode config runs without error.
 """
 
 import json
@@ -25,9 +26,18 @@ def test_bench_smoke(tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
     json_lines = [ln for ln in r.stdout.splitlines()
                   if ln.startswith("{") and ln.endswith("}")]
-    assert len(json_lines) == 1, r.stdout
-    line = json.loads(json_lines[0])
-    assert line["metric"] == "train_tokens_per_sec_per_chip"
+    # streaming protocol: one cumulative summary line per finished config
+    # (3 smoke configs) plus the final line; EVERY line must parse and
+    # carry the summary schema, because the driver keeps the LAST line
+    # whenever the run is killed
+    assert len(json_lines) >= 3, r.stdout
+    for ln in json_lines:
+        parsed = json.loads(ln)
+        assert parsed["metric"] == "train_tokens_per_sec_per_chip"
+    # the first line streams out before any decode config has run
+    first = json.loads(json_lines[0])
+    assert list(first["configs"]) == ["transformer_base_train"]
+    line = json.loads(json_lines[-1])
     assert line["value"] and line["value"] > 0
     assert line["unit"] == "tokens/s/chip"
     cfgs = line["configs"]

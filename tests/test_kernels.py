@@ -91,6 +91,71 @@ def test_flash_model_path_matches_xla_path():
     assert abs(l_x - l_f) < 1e-4, (l_x, l_f)
 
 
+# -- fused (q-blocked) kernel in interpret mode (ADVICE r4: the CPU suite
+# must execute the REAL kernel, not just the XLA fallback) ---------------------
+
+import zero_tpu.ops.kernels.fused_attention as fa_mod  # noqa: E402
+
+
+def _interpret_case(monkeypatch, B, H, L, D, group, causal, pad_row=None):
+    """Run the real fwd+bwd kernels through the Pallas interpreter with a
+    forced head-group size and compare against the dense reference."""
+    monkeypatch.setattr(fa_mod, "INTERPRET", True)
+    monkeypatch.setattr(fa_mod, "_GROUP_OVERRIDE", group)
+    q, k, v = _rand(1, B, H, L, D), _rand(2, B, H, L, D), _rand(3, B, H, L, D)
+    mask = jnp.ones((B, L)).at[0, L - 3:].set(0)
+    if pad_row is not None:
+        mask = mask.at[pad_row].set(0)        # an ALL-pad batch row
+
+    def loss_kern(q, k, v):
+        return jnp.sum(fa_mod.fused_attention(q, k, v, mask,
+                                              causal=causal) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref(q, k, v, mask, causal) ** 2)
+
+    o1 = fa_mod.fused_attention(q, k, v, mask, causal=causal)
+    o2 = _ref(q, k, v, mask, causal)
+    # all-pad rows: both sides produce uniform weights over NEG_INF
+    # logits; compare them too (they must be finite, not NaN)
+    assert np.isfinite(np.asarray(o1)).all()
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=1e-5, atol=1e-5)
+    g1 = jax.grad(loss_kern, (0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_fused_kernel_interpret_group1(monkeypatch):
+    _interpret_case(monkeypatch, B=2, H=2, L=16, D=8, group=1, causal=False)
+
+
+def test_fused_kernel_interpret_group_within_row(monkeypatch):
+    # g=2 <= h=4: group is a divisor of one batch row's heads
+    _interpret_case(monkeypatch, B=2, H=4, L=16, D=8, group=2, causal=True)
+
+
+def test_fused_kernel_interpret_group_spans_rows(monkeypatch):
+    # g=4 > h=2: group spans two whole batch rows (mask block M=2)
+    _interpret_case(monkeypatch, B=4, H=2, L=16, D=8, group=4, causal=False)
+
+
+def test_fused_kernel_interpret_group_spans_rows_causal_allpad(monkeypatch):
+    # the a018d79 regression class: all-pad row + causal + row-spanning
+    # group, fwd AND bwd
+    _interpret_case(monkeypatch, B=4, H=2, L=16, D=8, group=4, causal=True,
+                    pad_row=2)
+
+
+def test_fused_kernel_interpret_multi_qblock(monkeypatch):
+    # force >1 q-block so the dk/dv revisited-accumulation path runs
+    monkeypatch.setattr(fa_mod, "MAX_BLOCK_SCORE_ELEMS", 8 * 32)
+    _interpret_case(monkeypatch, B=1, H=2, L=32, D=8, group=2, causal=True)
+
+
 # -- streaming (k-blocked) kernel wrapper -------------------------------------
 
 from zero_tpu.ops.kernels import streaming_attention as sa_mod  # noqa: E402

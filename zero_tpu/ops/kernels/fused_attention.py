@@ -61,6 +61,10 @@ NEG_INF = -1e30
 # per-block score elements kept in VMEM (fp32): BQ * Lk
 MAX_BLOCK_SCORE_ELEMS = 1024 * 1024
 MAX_LK = 8192
+# tests monkeypatch this to run the REAL kernels through the Pallas
+# interpreter on CPU (ADVICE r4: the CPU suite previously validated only
+# the XLA fallback, so kernel regressions surfaced only on the chip)
+INTERPRET = False
 
 
 def _pick_block(lq: int, lk: int) -> Optional[int]:
@@ -81,7 +85,12 @@ def _pick_block(lq: int, lk: int) -> Optional[int]:
 # per-step overhead stops mattering past g=8 — the residual MT-shape
 # cost is the dh=64 lane geometry, not grid overhead).
 GROUP_SCORE_BUDGET = 256 * 1024
-_GROUP_OVERRIDE: Optional[int] = None  # experiments only
+# experiments only. Read ONCE, at fused_attention() trace time, and
+# threaded to both kernels as a nondiff argument -- the forward and the
+# custom-VJP backward must use the SAME group or the dropout streams and
+# block layouts desync (ADVICE r4: the old module-global was read
+# independently by each side).
+_GROUP_OVERRIDE: Optional[int] = None
 
 
 def _pick_group(h: int, bq: int, lk: int, bh: int) -> int:
@@ -90,8 +99,6 @@ def _pick_group(h: int, bq: int, lk: int, bh: int) -> int:
     Below h the group is a divisor of one batch row's heads; above h it
     spans whole batch rows (g % h == 0), so the per-row pad masks stay
     recoverable from the block index. Long sequences resolve to 1."""
-    if _GROUP_OVERRIDE is not None:
-        return _GROUP_OVERRIDE
     g = 1
     for cand in (2, 4, 8, 16, 32, 64, 128):
         if cand * bq * lk > GROUP_SCORE_BUDGET:
@@ -263,19 +270,19 @@ def _specs(heads, bq, lk, dh, g):
     return q_spec, kv_spec, mask_spec
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _fused_attention(q, k, v, pad_mask, seed, causal, dropout_rate):
-    return _fused_forward(q, k, v, pad_mask, causal, dropout_rate, seed)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _fused_attention(q, k, v, pad_mask, seed, causal, dropout_rate, group):
+    return _fused_forward(q, k, v, pad_mask, causal, dropout_rate, seed,
+                          group)
 
 
-def _fused_forward(q, k, v, pad_mask, causal, dropout_rate, seed):
+def _fused_forward(q, k, v, pad_mask, causal, dropout_rate, seed, g):
     b, h, lq, dh = q.shape
     lk = k.shape[2]
     scale = dh ** -0.5
     bh = b * h
     bq = _pick_block(lq, lk)
     nq = lq // bq
-    g = _pick_group(h, bq, lk, bh)
 
     q3 = q.reshape(bh, lq, dh)
     k3 = k.reshape(bh, lk, dh)
@@ -294,16 +301,17 @@ def _fused_forward(q, k, v, pad_mask, causal, dropout_rate, seed):
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bh, lq, dh), q.dtype),
+        interpret=INTERPRET,
     )(seed, q3, k3, v3, pad_mask[:, None, :])
     return o.reshape(b, h, lq, dh)
 
 
-def _fused_fwd_rule(q, k, v, pad_mask, seed, causal, dropout_rate):
-    o = _fused_forward(q, k, v, pad_mask, causal, dropout_rate, seed)
+def _fused_fwd_rule(q, k, v, pad_mask, seed, causal, dropout_rate, group):
+    o = _fused_forward(q, k, v, pad_mask, causal, dropout_rate, seed, group)
     return o, (q, k, v, pad_mask, seed)
 
 
-def _fused_bwd_rule(causal, dropout_rate, residuals, g):
+def _fused_bwd_rule(causal, dropout_rate, grp, residuals, dout):
     q, k, v, pad_mask, seed = residuals
     b, h, lq, dh = q.shape
     lk = k.shape[2]
@@ -311,12 +319,11 @@ def _fused_bwd_rule(causal, dropout_rate, residuals, g):
     bh = b * h
     bq = _pick_block(lq, lk)
     nq = lq // bq
-    grp = _pick_group(h, bq, lk, bh)
 
     q3 = q.reshape(bh, lq, dh)
     k3 = k.reshape(bh, lk, dh)
     v3 = v.reshape(bh, lk, dh)
-    do3 = g.reshape(bh, lq, dh)
+    do3 = dout.reshape(bh, lq, dh)
 
     q_spec, kv_spec, mask_spec = _specs(h, bq, lk, dh, grp)
     kernel = functools.partial(_bwd_kernel, scale=scale, causal=causal,
@@ -333,6 +340,7 @@ def _fused_bwd_rule(causal, dropout_rate, residuals, g):
         out_shape=[jax.ShapeDtypeStruct((bh, lq, dh), q.dtype),
                    jax.ShapeDtypeStruct((bh, lk, dh), jnp.float32),
                    jax.ShapeDtypeStruct((bh, lk, dh), jnp.float32)],
+        interpret=INTERPRET,
     )(seed, q3, k3, v3, pad_mask[:, None, :], do3)
     return (dq.reshape(b, h, lq, dh),
             dk.reshape(b, h, lk, dh).astype(k.dtype),
@@ -363,12 +371,17 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     else:
         dropout_rate = 0.0
         seed = jnp.zeros((1,), jnp.int32)
-    if jax.default_backend() != "tpu" or not supported(lq, lk):
+    if ((jax.default_backend() != "tpu" and not INTERPRET)
+            or not supported(lq, lk)):
         # CPU/GPU or VMEM-oversized shapes: mathematically-equivalent XLA
         # path (dropout stream differs; both are valid inverted dropout)
         return _xla_equivalent(q, k, v, pad_mask, causal, dropout_rate, rng)
+    h = q.shape[1]
+    bq = _pick_block(lq, lk)
+    group = (_GROUP_OVERRIDE if _GROUP_OVERRIDE is not None
+             else _pick_group(h, bq, lk, b * h))
     return _fused_attention(q, k, v, pad_mask, seed, causal,
-                            float(dropout_rate))
+                            float(dropout_rate), group)
 
 
 def _xla_equivalent(q, k, v, pad_mask, causal, dropout_rate, rng):

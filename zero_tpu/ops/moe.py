@@ -84,23 +84,26 @@ def _route(probs, top_idx, c: int):
     b, s, e = probs.shape
     k = top_idx.shape[-1]
     pos_slots, keep_slots = [], []
-    f_frac = jnp.zeros((b, e), jnp.float32)
+    # used capacity is an EXACT count (not a mean*s round-trip: the fp32
+    # K/s division can land one ulp low, truncating pos off-by-one --
+    # under the scatter backend a duplicated pos silently merges two
+    # tokens' vectors; ADVICE r4)
+    f_count = jnp.zeros((b, e), jnp.float32)
     for slot in range(k):
         onehot = jax.nn.one_hot(top_idx[..., slot], e,
                                 dtype=jnp.float32)       # [B, S, E]
-        prior = f_frac * s                               # tokens used
-        grid = jnp.cumsum(onehot, axis=1) + prior[:, None, :]
+        grid = jnp.cumsum(onehot, axis=1) + f_count[:, None, :]
         grid = grid * onehot                             # [B,S,E] 1-based
         pos = jnp.take_along_axis(
             grid, top_idx[..., slot][..., None], axis=2)[..., 0]
         keep = (pos > 0) & (pos <= c)
-        f_frac = f_frac + jnp.mean(
+        f_count = f_count + jnp.sum(
             onehot * keep[..., None].astype(jnp.float32), axis=1)
         pos_slots.append(pos)
         keep_slots.append(keep)
     pos = jnp.stack(pos_slots, axis=-1).astype(jnp.int32)   # [B, S, k]
     keep = jnp.stack(keep_slots, axis=-1)                   # [B, S, k]
-    return pos, keep, f_frac
+    return pos, keep, f_count / s
 
 
 def _expert_ffn(ex, xin, rngs, drop):
@@ -140,6 +143,9 @@ def moe_ffn(params, x, rngs=None, drop=None, *, num_experts: int,
     [B,S,E,C] tensors) or "einsum" (dense one-hot form; use under an
     active 'expert' mesh axis so GSPMD inserts token all-to-alls).
     """
+    if dispatch not in ("einsum", "scatter"):
+        raise ValueError("moe dispatch must be 'einsum' or 'scatter', "
+                         "got %r" % (dispatch,))
     b, s, d = x.shape
     e = num_experts
     c = capacity(s, e, capacity_factor, top_k) if training else s
