@@ -582,8 +582,12 @@ def _config_registry():
 
 FAMILIES = [
     # (family, configs, timeout_s) -- ordered by evidence value: the
-    # headline + north-star decode first, then the never-yet-captured
-    # r3/r4 gaps (rela train, moe, l0drop L1024), then the rest.
+    # headline + north-star decode first, then the r3/r4 gaps (rela
+    # train, moe, l0drop L1024), then the rest. The three base-geometry
+    # train variants share ONE child (one TPU-client init; none is an
+    # OOM risk); moe/afs/deep keep their own children. Timeouts budget
+    # for a COLD compile cache: the rela train step alone measured
+    # 621 s compile+warmup cold (r5) -- the r4 420 s watchdog killed it.
     ("train_base", ["transformer_base_train"], 480),
     ("decode", ["transformer_base_decode_beam4",
                 "transformer_aan_decode_beam4",
@@ -592,14 +596,13 @@ FAMILIES = [
                 "transformer_base_decode_beam4_b128",
                 "transformer_base_decode_beam4_b256",
                 "transformer_base_decode_beam4_b1"], 700),
-    ("train_rela", ["transformer_rela_train"], 420),
+    ("train_variants", ["transformer_rela_train", "transformer_rpr_train",
+                        "transformer_big_train"], 1100),
     ("train_moe", ["transformer_moe_train"], 540),
     ("l0drop_decode", ["l0drop_decode_full_L1024",
                        "l0drop_decode_compact25_L1024",
                        "l0drop_decode_full_L128",
-                       "l0drop_decode_compact50_L128"], 700),
-    ("train_big", ["transformer_big_train"], 540),
-    ("train_rpr", ["transformer_rpr_train"], 420),
+                       "l0drop_decode_compact50_L128"], 800),
     ("afs", ["afs_speech_train"], 540),
     ("train_deep", ["deep20_fuse_train", "deep30_fuse_train"], 1000),
 ]

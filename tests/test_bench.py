@@ -11,6 +11,9 @@ import json
 import os
 import subprocess
 import sys
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute tier: run via plain `pytest tests/`
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

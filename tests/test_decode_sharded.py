@@ -143,6 +143,74 @@ def test_zero3_sharded_weights_decode_matches():
                                   np.asarray(sharded["seq"]))
 
 
+def test_seq_mesh_decode_matches_plain():
+    """VERDICT r4 #4: a 'seq' axis in the mesh must not break decode.
+    With the ring active (the in-training-eval situation) and a
+    divisible source length, the eval encoder rides ring attention;
+    decode steps (lq=1) and cross-attention stay dense."""
+    from zero_tpu.parallel import ring
+
+    cfg = _cfg(mesh_data=4, mesh_seq=2)
+    mesh = make_mesh(cfg)
+    model = get_model("transformer")
+    weights = model.init_fn(jax.random.PRNGKey(0), cfg)
+    batch = _toy_eval_batch(rows=8, src_len=8)
+
+    plain = make_decode_fn(_cfg(), model)(weights, batch)
+    ring.set_active_mesh(mesh)
+    try:
+        sharded = make_decode_fn(cfg, model, mesh=mesh)(weights, batch)
+    finally:
+        ring.set_active_mesh(None)
+    np.testing.assert_array_equal(np.asarray(plain["seq"]),
+                                  np.asarray(sharded["seq"]))
+
+
+def test_pipe_sharded_stack_decode_matches_plain():
+    """PP-trained scan_layers stacks ([L, ...] leaves sharded over
+    'pipe') decode without re-materialization: the per-layer static
+    slices become GSPMD gathers inside the decode jit."""
+    over = dict(scan_layers=True, num_encoder_layer=2, num_decoder_layer=2)
+    cfg = _cfg(mesh_data=4, mesh_pipe=2, **over)
+    mesh = make_mesh(cfg)
+    model = get_model("transformer")
+    weights = model.init_fn(jax.random.PRNGKey(0), cfg)
+    batch = _toy_eval_batch(rows=8)
+
+    plain = make_decode_fn(_cfg(**over), model)(weights, batch)
+    pp_weights = jax.device_put(
+        weights, param_sharding(weights, mesh, warn_unsharded=False))
+    assert any(l.sharding.shard_shape(l.shape) != l.shape
+               for l in jax.tree.leaves(pp_weights)
+               if hasattr(l, "sharding")), "no stack was pipe-sharded"
+    sharded = make_decode_fn(cfg, model, mesh=mesh)(pp_weights, batch)
+    np.testing.assert_array_equal(np.asarray(plain["seq"]),
+                                  np.asarray(sharded["seq"]))
+
+
+def test_expert_sharded_moe_decode_matches_plain():
+    """MoE expert stacks sharded over 'expert' decode through the same
+    GSPMD all-to-all dispatch as training; eval routing is lossless so
+    the sharded decode equals the plain one exactly."""
+    over = dict(model_name="transformer_moe", scope_name="transformer_moe",
+                moe_num_experts=4)
+    cfg = _cfg(mesh_data=4, mesh_expert=2, **over)
+    mesh = make_mesh(cfg)
+    model = get_model("transformer_moe")
+    weights = model.init_fn(jax.random.PRNGKey(0), cfg)
+    batch = _toy_eval_batch(rows=8)
+
+    plain = make_decode_fn(_cfg(**over), model)(weights, batch)
+    ep_weights = jax.device_put(
+        weights, param_sharding(weights, mesh, warn_unsharded=False))
+    assert any(l.sharding.shard_shape(l.shape) != l.shape
+               for l in jax.tree.leaves(ep_weights)
+               if hasattr(l, "sharding")), "no expert stack was sharded"
+    sharded = make_decode_fn(cfg, model, mesh=mesh)(ep_weights, batch)
+    np.testing.assert_array_equal(np.asarray(plain["seq"]),
+                                  np.asarray(sharded["seq"]))
+
+
 @pytest.mark.parametrize("model_name", ["transformer_aan",
                                         "transformer_rela"])
 def test_other_families_ride_the_mesh(model_name):

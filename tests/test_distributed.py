@@ -14,6 +14,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute tier: run via plain `pytest tests/`
+
 
 def _free_port():
     s = socket.socket()

@@ -12,6 +12,8 @@ from zero_tpu import train as graph
 from zero_tpu.config import default_config, save_parameters
 from zero_tpu.vocab import Vocab
 
+pytestmark = pytest.mark.slow  # multi-minute tier: run via plain `pytest tests/`
+
 
 def _write_corpus(path, lines):
     with open(path, "w") as w:

@@ -16,6 +16,8 @@ from zero_tpu.vocab import Vocab
 
 from tests.test_end_to_end import _params, copy_task  # noqa: F401
 
+pytestmark = pytest.mark.slow  # multi-minute tier: run via plain `pytest tests/`
+
 
 def _train_and_eval(copy_task, out, **over):  # noqa: F811
     params = _params(copy_task, out, max_training_steps=700,

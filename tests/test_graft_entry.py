@@ -13,6 +13,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute tier: run via plain `pytest tests/`
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

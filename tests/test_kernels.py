@@ -10,6 +10,7 @@ causality, dropout, gradients, and the flash-enabled model path.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import zero_tpu.models  # noqa: F401
 from zero_tpu.models.base import get_model
@@ -154,6 +155,143 @@ def test_fused_kernel_interpret_multi_qblock(monkeypatch):
     # force >1 q-block so the dk/dv revisited-accumulation path runs
     monkeypatch.setattr(fa_mod, "MAX_BLOCK_SCORE_ELEMS", 8 * 32)
     _interpret_case(monkeypatch, B=1, H=2, L=32, D=8, group=2, causal=True)
+
+
+# -- RPR-folded fused kernel in interpret mode (VERDICT r4 #3) -----------------
+
+def _ref_rpr(q, k, v, mask, causal, tk, tv, m):
+    """Independent dense reference: gathered-table Shaw RPR (reference
+    modules/rpr.py semantics, dist = clip(i - j)), NOT the one-hot form
+    the kernel fallback uses."""
+    B, H, Lq, D = q.shape
+    Lk = k.shape[2]
+    ids = np.clip(np.arange(Lq)[:, None] - np.arange(Lk)[None, :],
+                  -m, m) + m
+    rk = jnp.take(tk, jnp.asarray(ids), axis=0)        # [Lq, Lk, D]
+    rv = jnp.take(tv, jnp.asarray(ids), axis=0)
+    qs = q * (D ** -0.5)
+    s = (jnp.einsum("bhqd,bhkd->bhqk", qs, k)
+         + jnp.einsum("bhqd,qkd->bhqk", qs, rk)).astype(jnp.float32)
+    s = jnp.where(mask[:, None, None, :] > 0, s, -1e30)
+    if causal:
+        tri = np.tril(np.ones((Lq, Lk), bool))
+        s = jnp.where(jnp.asarray(tri)[None, None], s, -1e30)
+    w = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    return (jnp.einsum("bhqk,bhkd->bhqd", w, v)
+            + jnp.einsum("bhqk,qkd->bhqd", w, rv))
+
+
+def _interpret_case_rpr(monkeypatch, B, H, L, D, group, causal, m,
+                        pad_row=None, lk=None):
+    monkeypatch.setattr(fa_mod, "INTERPRET", True)
+    monkeypatch.setattr(fa_mod, "_GROUP_OVERRIDE", group)
+    lk = lk or L
+    q = _rand(1, B, H, L, D)
+    k, v = _rand(2, B, H, lk, D), _rand(3, B, H, lk, D)
+    tk, tv = _rand(4, 2 * m + 1, D), _rand(5, 2 * m + 1, D)
+    mask = jnp.ones((B, lk)).at[0, lk - 3:].set(0)
+    if pad_row is not None:
+        mask = mask.at[pad_row].set(0)
+    tables = {"keys": tk, "values": tv}
+
+    def loss_kern(q, k, v, tk, tv):
+        o = fa_mod.fused_attention(q, k, v, mask, causal=causal,
+                                   rpr_tables={"keys": tk, "values": tv},
+                                   max_relative_position=m)
+        return jnp.sum(o ** 2)
+
+    def loss_ref(q, k, v, tk, tv):
+        return jnp.sum(_ref_rpr(q, k, v, mask, causal, tk, tv, m) ** 2)
+
+    o1 = fa_mod.fused_attention(q, k, v, mask, causal=causal,
+                                rpr_tables=tables,
+                                max_relative_position=m)
+    o2 = _ref_rpr(q, k, v, mask, causal, tk, tv, m)
+    assert np.isfinite(np.asarray(o1)).all()
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=1e-5, atol=1e-5)
+    g1 = jax.grad(loss_kern, (0, 1, 2, 3, 4))(q, k, v, tk, tv)
+    g2 = jax.grad(loss_ref, (0, 1, 2, 3, 4))(q, k, v, tk, tv)
+    for a, b in zip(g1, g2):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_rpr_kernel_interpret_group1(monkeypatch):
+    _interpret_case_rpr(monkeypatch, B=2, H=2, L=16, D=8, group=1,
+                        causal=False, m=4)
+
+
+def test_rpr_kernel_interpret_causal_group_within_row(monkeypatch):
+    _interpret_case_rpr(monkeypatch, B=2, H=4, L=16, D=8, group=2,
+                        causal=True, m=3)
+
+
+def test_rpr_kernel_interpret_group_spans_rows_allpad(monkeypatch):
+    _interpret_case_rpr(monkeypatch, B=4, H=2, L=16, D=8, group=4,
+                        causal=True, m=4, pad_row=2)
+
+
+def test_rpr_kernel_interpret_multi_qblock(monkeypatch):
+    # >1 q-block: nonzero r0 exercises the per-block skew offsets and
+    # the revisited dk/dv/dtable accumulation
+    monkeypatch.setattr(fa_mod, "MAX_BLOCK_SCORE_ELEMS", 8 * 32)
+    _interpret_case_rpr(monkeypatch, B=1, H=2, L=32, D=8, group=2,
+                        causal=True, m=5)
+
+
+def test_rpr_kernel_interpret_cross_lengths(monkeypatch):
+    # lq != lk (the reference also applies RPR to decoder cross-attn)
+    _interpret_case_rpr(monkeypatch, B=2, H=2, L=8, D=8, group=2,
+                        causal=False, m=3, lk=32)
+
+
+def test_rpr_kernel_interpret_wide_band(monkeypatch):
+    # R = 2m+1 close to lk (lk > 2m boundary of rpr_supported)
+    _interpret_case_rpr(monkeypatch, B=2, H=2, L=16, D=8, group=1,
+                        causal=False, m=7)
+
+
+def test_rpr_flash_model_path_matches_xla_path(monkeypatch):
+    """transformer_rpr with use_flash_attention rides the RPR-folded
+    kernel (interpret mode) and must equal the XLA one-hot path."""
+    monkeypatch.setattr(fa_mod, "INTERPRET", True)
+    over = dict(dropout=0.0, residual_dropout=0.0, relu_dropout=0.0,
+                attention_dropout=0.0, model_name="transformer_rpr",
+                scope_name="transformer_rpr",
+                # rpr_supported needs lk > 2m; toy lengths are 6-7
+                max_relative_position=2)
+    cfg_x = tiny_config(use_flash_attention=False, **over)
+    cfg_f = tiny_config(use_flash_attention=True, **over)
+    model = get_model("transformer_rpr")
+    params = model.init_fn(jax.random.PRNGKey(0), cfg_x)
+    feats = {k: jnp.asarray(v) for k, v in toy_batch().items()}
+    # the flash path must ACTUALLY route through the RPR kernel (the
+    # first version of this test passed vacuously: the model never
+    # passed use_flash, so both runs took the XLA one-hot path)
+    hits = []
+    real = fa_mod._fused_attention_rpr
+    monkeypatch.setattr(fa_mod, "_fused_attention_rpr",
+                        lambda *a, **kw: (hits.append(1),
+                                          real(*a, **kw))[1])
+    out_x = model.train_fn(params, feats, cfg_x, jax.random.PRNGKey(1))
+    assert not hits, "XLA path unexpectedly hit the kernel"
+    out_f = model.train_fn(params, feats, cfg_f, jax.random.PRNGKey(1))
+    assert hits, "use_flash_attention did not route RPR to the kernel"
+    l_x, l_f = float(out_x["loss"]), float(out_f["loss"])
+    assert abs(l_x - l_f) < 1e-4, (l_x, l_f)
+    # gradients (incl. the RPR tables) must agree across the two paths
+    gx = jax.grad(lambda p: model.train_fn(
+        p, feats, cfg_x, jax.random.PRNGKey(1))["loss"])(params)
+    gf = jax.grad(lambda p: model.train_fn(
+        p, feats, cfg_f, jax.random.PRNGKey(1))["loss"])(params)
+    flat_x = jax.tree_util.tree_flatten_with_path(gx)[0]
+    flat_f = jax.tree.leaves(gf)
+    for (path, a), b in zip(flat_x, flat_f):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path))
 
 
 # -- streaming (k-blocked) kernel wrapper -------------------------------------
@@ -397,11 +535,13 @@ def test_decode_cross_supported_bounds():
     assert not da_mod.cross_supported(4, 4096, 512, 8)   # VMEM residency
 
 
-def test_decode_pool_attention_matches_gathered_reference():
+@pytest.mark.parametrize("B", [2, 16])
+def test_decode_pool_attention_matches_gathered_reference(B):
     """Ancestry-pool kernel == attention over the per-beam GATHERED cache
     (every (beam, pos) selects one pool row; masked accumulation over the
-    K rows is exact)."""
-    B, K, H, T, D = 2, 4, 4, 24, 16
+    K rows is exact). B=16 exercises the row-grouped grid (rb=8, two
+    programs -- the serving-tail amortization, VERDICT r4 #5)."""
+    K, H, T, D = 4, 4, 24, 16
     hidden = H * D
     rs = np.random.RandomState(7)
     q = _rand(11, B, K, hidden)

@@ -12,8 +12,11 @@ import signal
 import subprocess
 import sys
 import time
+import pytest
 
 import numpy as np
+
+pytestmark = pytest.mark.slow  # multi-minute tier: run via plain `pytest tests/`
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -14,6 +14,8 @@ from zero_tpu import train as graph
 from zero_tpu.config import default_config, save_parameters
 from zero_tpu.vocab import Vocab
 
+pytestmark = pytest.mark.slow  # multi-minute tier: run via plain `pytest tests/`
+
 
 @pytest.fixture(scope="module")
 def speech_task(tmp_path_factory):

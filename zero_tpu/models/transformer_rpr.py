@@ -33,6 +33,7 @@ def enc_layer(p, x, src_keep, cfg, rngs):
         p["self"], x, None, src_keep, cfg.num_heads, rng=rngs(),
         drop=cfg.attention_dropout, rpr_tables=p["self_rpr"],
         max_relative_position=cfg.max_relative_position,
+        use_flash=cfg.use_flash_attention,
         pad_mask=src_keep[:, 0, 0, :])["output"]
     x = nn.layer_norm(p["ln1"],
                       nn.residual_fn(x, y, rngs(), cfg.residual_dropout))
@@ -59,13 +60,16 @@ def dec_layer_train(p, x, state, self_keep, mem_keep, cfg, rngs, tgt_mask):
         p["self"], x, None, self_keep, cfg.num_heads, rng=rngs(),
         drop=cfg.attention_dropout, rpr_tables=p["self_rpr"],
         max_relative_position=cfg.max_relative_position,
+        use_flash=cfg.use_flash_attention,
         causal=True)["output"]
     x = nn.layer_norm(p["ln1"],
                       nn.residual_fn(x, y, rngs(), cfg.residual_dropout))
     y = attention.attn_train(
         p["cross"], x, state["encodes"], mem_keep, cfg.num_heads, rng=rngs(),
         drop=cfg.attention_dropout, rpr_tables=p["cross_rpr"],
-        max_relative_position=cfg.max_relative_position)["output"]
+        max_relative_position=cfg.max_relative_position,
+        use_flash=cfg.use_flash_attention,
+        pad_mask=mem_keep[:, 0, 0, :])["output"]
     x = nn.layer_norm(p["ln2"],
                       nn.residual_fn(x, y, rngs(), cfg.residual_dropout))
     y = nn.ffn(p["ffn"], x, rngs(), cfg.relu_dropout)

@@ -43,6 +43,16 @@ def kernels_supported(lq: int, lk: int) -> bool:
     return fa_mod.supported(lq, lk) or sa_mod.supported(lq, lk)
 
 
+def _rpr_flash_ok(lq: int, lk: int, max_rel, causal, pad_mask) -> bool:
+    """RPR may ride the fused kernel when the standard clipped-distance
+    matrix applies (max_relative_position given; callers with custom
+    rpr_ids stay on XLA), the mask decomposes (causal/pad_mask declared),
+    and the lane-roll skew geometry holds (lk > 2m)."""
+    import zero_tpu.ops.kernels.fused_attention as fa_mod
+    return (max_rel is not None and (causal or pad_mask is not None)
+            and fa_mod.rpr_supported(lq, lk, max_rel))
+
+
 # ---------------------------------------------------------------------------
 # init
 # ---------------------------------------------------------------------------
@@ -275,21 +285,33 @@ def attn_train(params, query, memory, keep_mask, num_heads, *,
         # AAN/fuse add-on, output projection)
         o = combine_heads(o.astype(q.dtype))
         weights = None
-    elif (use_flash and not relu and rpr_tables is None
+    elif (use_flash and not relu
           and count_weights is None
-          and kernels_supported(q.shape[1], k.shape[1])):
+          and kernels_supported(q.shape[1], k.shape[1])
+          and (rpr_tables is None or _rpr_flash_ok(
+              q.shape[1], k.shape[1], max_relative_position,
+              causal, pad_mask))):
         import zero_tpu.ops.kernels.fused_attention as fa_mod
         import zero_tpu.ops.kernels.streaming_attention as sa_mod
         qh = split_heads(q, num_heads)
         kh = split_heads(k, num_heads)
         vh = split_heads(v, num_heads)
         drop_rate = float(drop) if (drop and rng is not None) else 0.0
-        if fa_mod.supported(q.shape[1], k.shape[1]):
-            kernel = fa_mod.fused_attention
+        if rpr_tables is not None:
+            # Shaw-RPR folded into the q-blocked kernel: bias expansion
+            # by lane-roll skew, value-side bucket sums, table grads
+            # accumulated across the grid (kernels/fused_attention.py)
+            o = fa_mod.fused_attention(
+                qh, kh, vh, pad_mask, causal=causal,
+                dropout_rate=drop_rate, rng=rng, rpr_tables=rpr_tables,
+                max_relative_position=max_relative_position)
         else:
-            kernel = sa_mod.streaming_attention
-        o = kernel(qh, kh, vh, pad_mask, causal=causal,
-                   dropout_rate=drop_rate, rng=rng)
+            if fa_mod.supported(q.shape[1], k.shape[1]):
+                kernel = fa_mod.fused_attention
+            else:
+                kernel = sa_mod.streaming_attention
+            o = kernel(qh, kh, vh, pad_mask, causal=causal,
+                       dropout_rate=drop_rate, rng=rng)
         o = combine_heads(o.astype(q.dtype))
         weights = None
     else:

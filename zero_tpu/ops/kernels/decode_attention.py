@@ -154,6 +154,25 @@ def _cross_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, num_heads: int):
     o_ref[0] = o.astype(o_ref.dtype)             # [beams, hidden]
 
 
+def _pool_rows_per_program(b: int, beams: int, t_max: int,
+                           hidden: int) -> int:
+    """Batch rows handled by one grid program. At serving batch sizes the
+    per-row work is tiny (a handful of [H*K, T] dots), so one-row
+    programs pay grid/DMA fixed costs hundreds of times per layer step —
+    the measured super-linear decode tail past B=64 (docs/kernels.md).
+    Group as many rows as divide the batch and keep K+V pool blocks
+    inside the scoped-VMEM budget."""
+    # measured on v5e (MT pool, K=4 T=82 hidden=512, beam-4 serving
+    # A/B): rb=4 565/542 sent/s at B=64/256 vs 563/530 ungrouped;
+    # rb=8 (via a raised 1.5M budget) measured WORSE (562/540) -- the
+    # bigger block spends VMEM without further overhead to amortize,
+    # so the single-row VMEM bound stays the grouping budget too
+    for rb in (8, 4, 2):
+        if b % rb == 0 and rb * beams * t_max * hidden <= MAX_CACHE_ELEMS:
+            return rb
+    return 1
+
+
 def _pool_kernel(time_ref, q_ref, k_ref, v_ref, anc_ref, o_ref, *,
                  num_heads: int, relu: bool = False):
     """Ancestry-selected beam attention over one batch row's UNPERMUTED
@@ -171,58 +190,62 @@ def _pool_kernel(time_ref, q_ref, k_ref, v_ref, anc_ref, o_ref, *,
     h's lanes -- so per-j selection masks tile as whole [K, T] blocks.
     """
     t = time_ref[0]
-    q = q_ref[0]                                  # [K, hidden]
-    anc = anc_ref[0]                              # [K, T] int32
-    beams, hidden = q.shape
-    t_max = anc.shape[1]
-    dh = hidden // num_heads
-    scale = dh ** -0.5
+    rb = q_ref.shape[0]
+    for r in range(rb):      # unrolled: rows grouped per program to
+        q = q_ref[r]                              # [K, hidden]
+        anc = anc_ref[r]                          # [K, T] int32
+        beams, hidden = q.shape
+        t_max = anc.shape[1]
+        dh = hidden // num_heads
+        scale = dh ** -0.5
 
-    head_of_lane = jax.lax.broadcasted_iota(
-        jnp.int32, (num_heads, hidden), 1) // dh
-    head_row = jax.lax.broadcasted_iota(
-        jnp.int32, (num_heads, hidden), 0)
-    sel = (head_of_lane == head_row).astype(q.dtype)      # [H, hidden]
+        head_of_lane = jax.lax.broadcasted_iota(
+            jnp.int32, (num_heads, hidden), 1) // dh
+        head_row = jax.lax.broadcasted_iota(
+            jnp.int32, (num_heads, hidden), 0)
+        sel = (head_of_lane == head_row).astype(q.dtype)  # [H, hidden]
 
-    q_heads = (sel[:, None, :] * q[None, :, :]).reshape(
-        num_heads * beams, hidden)                        # [H*K, hidden]
+        q_heads = (sel[:, None, :] * q[None, :, :]).reshape(
+            num_heads * beams, hidden)                    # [H*K, hidden]
 
-    rows = num_heads * beams
-    s_acc = jnp.zeros((rows, t_max), jnp.float32)
-    for j in range(beams):
-        mask_j = jnp.broadcast_to((anc == j)[None], (num_heads,) + anc.shape)
-        mask_j = mask_j.reshape(rows, t_max)
-        dots = jax.lax.dot_general(q_heads, k_ref[0, j],
-                                   (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-        s_acc += dots * mask_j.astype(jnp.float32)
+        rows = num_heads * beams
+        s_acc = jnp.zeros((rows, t_max), jnp.float32)
+        for j in range(beams):
+            mask_j = jnp.broadcast_to((anc == j)[None],
+                                      (num_heads,) + anc.shape)
+            mask_j = mask_j.reshape(rows, t_max)
+            dots = jax.lax.dot_general(q_heads, k_ref[r, j],
+                                       (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            s_acc += dots * mask_j.astype(jnp.float32)
 
-    s_acc = s_acc * scale
-    pos = jax.lax.broadcasted_iota(jnp.int32, (rows, t_max), 1)
-    s_acc = jnp.where(pos <= t, s_acc, NEG_INF)
-    if relu:
-        # ReLA: relu weights, no normalization (modules/rela.py:63-72;
-        # masked positions become relu(NEG_INF) = 0, identical to the
-        # reference's zero-multiply masking). The gated-RMSNorm
-        # epilogue runs outside the kernel (self_attn_step).
-        w = jax.nn.relu(s_acc)                            # [H*K, T] f32
-    else:
-        m = jnp.max(s_acc, axis=1, keepdims=True)
-        p = jnp.exp(s_acc - m)
-        w = p / jnp.sum(p, axis=1, keepdims=True)         # [H*K, T] f32
+        s_acc = s_acc * scale
+        pos = jax.lax.broadcasted_iota(jnp.int32, (rows, t_max), 1)
+        s_acc = jnp.where(pos <= t, s_acc, NEG_INF)
+        if relu:
+            # ReLA: relu weights, no normalization (modules/rela.py:63-72;
+            # masked positions become relu(NEG_INF) = 0, identical to the
+            # reference's zero-multiply masking). The gated-RMSNorm
+            # epilogue runs outside the kernel (self_attn_step).
+            w = jax.nn.relu(s_acc)                        # [H*K, T] f32
+        else:
+            m = jnp.max(s_acc, axis=1, keepdims=True)
+            p = jnp.exp(s_acc - m)
+            w = p / jnp.sum(p, axis=1, keepdims=True)     # [H*K, T] f32
 
-    mixed = jnp.zeros((rows, hidden), jnp.float32)
-    for j in range(beams):
-        mask_j = jnp.broadcast_to((anc == j)[None], (num_heads,) + anc.shape)
-        mask_j = mask_j.reshape(rows, t_max)
-        wj = (w * mask_j.astype(jnp.float32)).astype(v_ref.dtype)
-        mixed += jax.lax.dot_general(wj, v_ref[0, j],
-                                     (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
+        mixed = jnp.zeros((rows, hidden), jnp.float32)
+        for j in range(beams):
+            mask_j = jnp.broadcast_to((anc == j)[None],
+                                      (num_heads,) + anc.shape)
+            mask_j = mask_j.reshape(rows, t_max)
+            wj = (w * mask_j.astype(jnp.float32)).astype(v_ref.dtype)
+            mixed += jax.lax.dot_general(wj, v_ref[r, j],
+                                         (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
 
-    mixed = mixed.reshape(num_heads, beams, hidden)
-    o = jnp.sum(mixed * sel[:, None, :].astype(jnp.float32), axis=0)
-    o_ref[0] = o.astype(o_ref.dtype)                      # [K, hidden]
+        mixed = mixed.reshape(num_heads, beams, hidden)
+        o = jnp.sum(mixed * sel[:, None, :].astype(jnp.float32), axis=0)
+        o_ref[r] = o.astype(o_ref.dtype)                  # [K, hidden]
 
 
 @functools.partial(jax.jit,
@@ -242,6 +265,7 @@ def decode_pool_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     b, beams, hidden = q.shape
     t_max = k.shape[2]
     time_arr = jnp.asarray(time, jnp.int32).reshape((1,))
+    rb = _pool_rows_per_program(b, beams, t_max, hidden)
 
     def row_map(i, *_):
         return (i, 0, 0)
@@ -249,15 +273,15 @@ def decode_pool_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     def row_map4(i, *_):
         return (i, 0, 0, 0)
 
-    q_spec = pl.BlockSpec((1, beams, hidden), row_map,
+    q_spec = pl.BlockSpec((rb, beams, hidden), row_map,
                           memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((1, beams, t_max, hidden), row_map4,
+    kv_spec = pl.BlockSpec((rb, beams, t_max, hidden), row_map4,
                            memory_space=pltpu.VMEM)
-    anc_spec = pl.BlockSpec((1, beams, t_max), row_map,
+    anc_spec = pl.BlockSpec((rb, beams, t_max), row_map,
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b,),
+        grid=(b // rb,),
         in_specs=[q_spec, kv_spec, kv_spec, anc_spec],
         out_specs=q_spec,
     )

@@ -279,19 +279,15 @@ def _train(params, preempted) -> bool:
     # In-training dev eval decodes over the WHOLE mesh: the eval stream
     # is identical on every host, so all processes feed their device
     # shards of every batch and all-gather the outputs (collective;
-    # _mesh_decode) -- DP batch-sharding and TP/ZeRO weight sharding
-    # both ride it. Only seq/pipe/expert sharding still forces eval off
-    # under multi-host: the decode graph does not ride those axes.
-    restricted = any(int(mesh.shape[a]) > 1 for a in mesh.axis_names
-                     if a not in ("data", "model"))
-    if nproc > 1 and restricted \
-            and (params.eval_freq > 0 or params.sample_freq > 0):
-        log.warning("multi-host with seq/pipe/expert parallelism: "
-                    "in-training eval/sampling disabled (the decode graph "
-                    "does not ride those axes); evaluate checkpoints with "
-                    "a single-host run")
-        params.eval_freq = 0
-        params.sample_freq = 0
+    # _mesh_decode). Every mesh axis rides: DP shards the rows,
+    # TP/ZeRO/PP/EP weight shardings flow into the decode jit as input
+    # layouts GSPMD partitions around (pipe-stacked layer slices become
+    # per-layer gathers, expert stacks keep their all-to-all dispatch),
+    # and a 'seq' axis shards the eval encoder through ring attention
+    # when lengths divide (lq=1 decode steps and cross-attention stay
+    # dense). Equality oracles: tests/test_decode_sharded.py
+    # (seq/pipe/expert legs) -- so the reference's always-on dev-BLEU
+    # gating (main.py:356-404) holds under every parallelism mode.
     # sampling decodes each host's OWN last batch (host-local content, so
     # it cannot ride the collective mesh decode): the primary fetches the
     # weights (collective) and decodes locally -- which needs the params
@@ -608,7 +604,7 @@ def _train(params, preempted) -> bool:
     _save_all(state, step)
     if preempted["flag"]:
         pass    # exit inside the grace window; skip the final dev eval
-    elif params.src_dev_file and not (nproc > 1 and restricted):
+    elif params.src_dev_file:
         # collective mesh decode (see the in-training eval path)
         bleu, _ = _dev_eval(params, decode, _eval_weights(params, state),
                             dev_dataset,
